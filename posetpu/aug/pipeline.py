@@ -1,0 +1,179 @@
+"""On-device augmentation pipeline — replaces the reference's DataLoader
+worker augmentation (`dataset/mpii.py __getitem__`, SURVEY.md §2 C1, §3.1)
+with one fused, jittable batch program: sample params -> (flip, scale, rot)
+affine -> bilinear warp -> color jitter/normalize -> keypoint transform ->
+Gaussian rasterize.  The host only ever decodes JPEGs and pads to a static
+shape (SURVEY.md §2 C15: host pipeline is decode-only).
+
+The flip is realized as a coordinate mirror composed into the affine (no
+array reversal): flipping a padded image then cropping is identical to
+cropping the original through a mirrored affine, and composing keeps
+everything a single gather pass.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from posetpu.aug.affine import compose_affine, make_transform, transform_points
+from posetpu.aug.color import color_jitter, color_normalize
+from posetpu.aug.heatmap import rasterize_gaussians
+from posetpu.aug.warp import affine_warp
+from posetpu.oracles.transforms import FLIP_PAIRS
+
+
+class AugParams(NamedTuple):
+    """Per-sample augmentation parameters (all (B,) arrays)."""
+
+    scale_factor: jnp.ndarray  # multiplicative on person scale
+    rot: jnp.ndarray  # degrees
+    flip: jnp.ndarray  # bool
+
+
+def flip_permutation(num_joints, dataset="mpii"):
+    """Joint index permutation for a horizontal flip (reference `shufflelr`
+    matchedParts)."""
+    perm = list(range(num_joints))
+    for a, b in FLIP_PAIRS[dataset]:
+        perm[a], perm[b] = perm[b], perm[a]
+    return jnp.asarray(perm, jnp.int32)
+
+
+def sample_aug_params(
+    key,
+    batch,
+    scale_factor=0.25,
+    rot_factor=30.0,
+    rot_prob=0.6,
+    flip_prob=0.5,
+    scale_mode="exp",
+):
+    """Sample the reference's random augmentation distribution (SURVEY.md
+    §3.1: "s·=clamp(2^N(0,.25)), r=±30° w/ prob, flip .5").
+
+    scale_mode "exp": s *= 2^clip(N(0,1)*sf, -2sf, 2sf)  (hourglass lineage)
+    scale_mode "linear": s *= clip(N(0,1)*sf + 1, 1-sf, 1+sf)
+    rot: clip(N(0,1)*rf, -2rf, 2rf), zeroed with prob (1 - rot_prob).
+    """
+    k_s, k_r, k_rp, k_f = jax.random.split(key, 4)
+    ns = jax.random.normal(k_s, (batch,))
+    if scale_mode == "exp":
+        sf = 2.0 ** jnp.clip(ns * scale_factor, -2 * scale_factor, 2 * scale_factor)
+    elif scale_mode == "linear":
+        sf = jnp.clip(ns * scale_factor + 1.0, 1.0 - scale_factor, 1.0 + scale_factor)
+    else:
+        raise ValueError(f"unknown scale_mode {scale_mode!r}")
+    rot = jnp.clip(
+        jax.random.normal(k_r, (batch,)) * rot_factor, -2 * rot_factor, 2 * rot_factor
+    )
+    rot = jnp.where(jax.random.uniform(k_rp, (batch,)) <= rot_prob, rot, 0.0)
+    flip = jax.random.uniform(k_f, (batch,)) < flip_prob
+    return AugParams(scale_factor=sf, rot=rot, flip=flip)
+
+
+def neutral_params(batch):
+    """Identity augmentation (validation / the joint-training neutral crop,
+    SURVEY.md §3.2)."""
+    return AugParams(
+        scale_factor=jnp.ones((batch,)),
+        rot=jnp.zeros((batch,)),
+        flip=jnp.zeros((batch,), bool),
+    )
+
+
+def _mirror_matrix(width, batch_shape):
+    """(B, 3, 3) source-coordinate mirror x -> (w-1) - x (0-indexed; identical
+    to an array fliplr of the valid region)."""
+    w = jnp.broadcast_to(jnp.asarray(width, jnp.float32), batch_shape)
+    zeros = jnp.zeros_like(w)
+    ones = jnp.ones_like(w)
+    return jnp.stack(
+        [
+            jnp.stack([-ones, zeros, w - 1.0], axis=-1),
+            jnp.stack([zeros, ones, zeros], axis=-1),
+            jnp.stack([zeros, zeros, ones], axis=-1),
+        ],
+        axis=1,
+    )
+
+
+def augment_batch(
+    images,
+    valid_wh,
+    center,
+    scale,
+    pts,
+    vis,
+    params: AugParams,
+    *,
+    inp_res=(256, 256),
+    out_res=(64, 64),
+    sigma=1.0,
+    mean=(0.0, 0.0, 0.0),
+    std=None,
+    dataset="mpii",
+    jitter_key=None,
+):
+    """Fully-fused device augmentation of one batch.
+
+    Args:
+      images:   (B, Hp, Wp, 3) decoded images, zero-padded to a static shape,
+                float in [0, 1].
+      valid_wh: (B, 2) int true (width, height) of each image before padding.
+      center:   (B, 2) person center (reference coordinate convention).
+      scale:    (B,) person scale (box = 200*scale px); already carries the
+                dataset adjustments (x1.25, center.y += 15*s — SURVEY.md C1).
+      pts:      (B, K, 2) 1-indexed keypoints in source coords.
+      vis:      (B, K) visibility (>0 labeled).
+      params:   AugParams from :func:`sample_aug_params`, agent bins, or
+                :func:`neutral_params`.
+      jitter_key: PRNG key for color jitter, or None to disable (val).
+
+    Returns dict with:
+      input (B, *inp_res, 3) normalized; target (B, K, *out_res);
+      target_weight (B, K); tpts (B, K, 2) 1-indexed heatmap coords.
+    """
+    B, K = pts.shape[:2]
+    w = valid_wh[:, 0].astype(jnp.float32)
+
+    # --- flip: mirror center/pts + joint swap (reference fliplr/shufflelr) ---
+    flip = params.flip
+    perm = flip_permutation(K, dataset)
+    c_x = jnp.where(flip, w - center[:, 0], center[:, 0])
+    center_f = jnp.stack([c_x, center[:, 1]], axis=-1)
+    pts_sw = pts[:, perm, :]
+    vis_sw = vis[:, perm]
+    pts_mx = jnp.stack([w[:, None] - pts_sw[..., 0], pts_sw[..., 1]], axis=-1)
+    pts_f = jnp.where(flip[:, None, None], pts_mx, pts)
+    vis_f = jnp.where(flip[:, None], vis_sw, vis)
+
+    s_aug = scale * params.scale_factor
+    rot = params.rot
+
+    # --- image warp (mirror composed into the affine) ---
+    t_img = make_transform(center_f, s_aug, inp_res, rot)
+    mirror = _mirror_matrix(w, (B,))
+    t_eff = jnp.where(flip[:, None, None], compose_affine(t_img, mirror), t_img)
+    inp = affine_warp(images, t_eff, inp_res, valid_wh=valid_wh)
+
+    if jitter_key is not None:
+        inp = color_jitter(inp, jitter_key)
+    inp = color_normalize(inp, mean, std)
+
+    # --- targets ---
+    t_out = make_transform(center_f, s_aug, out_res, rot)
+    tpts = transform_points(pts_f, t_out, truncate=True)  # 1-indexed ints
+    target, target_weight = rasterize_gaussians(
+        tpts - 1.0, vis_f, out_res, sigma=sigma
+    )
+    return {
+        "input": inp,
+        "target": target,
+        "target_weight": target_weight,
+        "tpts": tpts,
+        "center": center_f,
+        "scale": s_aug,
+    }
