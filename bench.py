@@ -1,0 +1,126 @@
+"""Benchmark: images/sec/chip for the flagship aug+train step
+(8-stack hourglass, on-device augmentation, bf16) — the headline metric of
+BASELINE.json:2.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against the literature-anchored PyTorch single-GPU
+hourglass training throughput (~12 img/s on a Titan X class card for the
+8-stack model; the reference never published a number — BASELINE.md).  The
+north-star target is >= 5x that (BASELINE.json:5).
+
+Usage: python bench.py [--quick] [--batch N] [--stacks N] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_GPU_IMG_PER_SEC = 12.0  # literature anchor, see BASELINE.md
+
+
+def run_bench(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from posetpu.configs import named_config
+    from posetpu.models import hg
+    from posetpu.train import TrainState, make_train_step
+    from posetpu.train.state import make_optimizer
+
+    cfg = named_config("hg8_mpii")
+    cfg.aug.inp_res = (res, res)
+    cfg.aug.out_res = (res // 4, res // 4)
+    model = hg(num_stacks=stacks, num_blocks=1, num_classes=16, num_feats=feats)
+    tx = make_optimizer(cfg.optim, 1000)
+    x = jnp.zeros((1, res, res, 3))
+    v = model.init(jax.random.PRNGKey(0), x, train=True)
+    state = TrainState(
+        params=v["params"],
+        batch_stats=v["batch_stats"],
+        opt_state=tx.init(v["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = jax.jit(
+        make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43)),
+        donate_argnums=(0,),
+    )
+
+    # Synthetic host batch at the padded shape the loader would produce.
+    rng = np.random.RandomState(0)
+    pad = res + res // 4
+    batch_data = {
+        "image": rng.rand(batch, pad, pad, 3).astype(np.float32),
+        "valid_wh": np.tile(np.array([[pad, pad]], np.int32), (batch, 1)),
+        "center": np.tile(
+            np.array([[pad / 2 + 0.3, pad / 2 + 0.2]], np.float32), (batch, 1)
+        ),
+        "scale": np.full((batch,), pad / 250.0, np.float32),
+        "pts": (rng.rand(batch, 16, 2) * pad * 0.6 + pad * 0.2).astype(np.float32),
+        "vis": np.ones((batch, 16), np.float32),
+        "index": np.arange(batch, dtype=np.int32),
+    }
+    batch_dev = jax.device_put(batch_data)
+
+    key = jax.random.PRNGKey(0)
+    for i in range(warmup):
+        key, sub = jax.random.split(key)
+        state, m = step(state, batch_dev, sub)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        state, m = step(state, batch_dev, sub)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny model, CPU-safe")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--stacks", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.quick:
+        kw = dict(batch=4, stacks=1, feats=16, steps=5, warmup=2, res=64)
+    else:
+        kw = dict(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256)
+    if args.batch:
+        kw["batch"] = args.batch
+    if args.stacks:
+        kw["stacks"] = args.stacks
+    if args.steps:
+        kw["steps"] = args.steps
+
+    try:
+        ips = run_bench(**kw)
+    except Exception as e:  # OOM fallback: halve the batch once
+        sys.stderr.write(f"[bench] retry with smaller batch after: {e}\n")
+        kw["batch"] = max(2, kw["batch"] // 2)
+        ips = run_bench(**kw)
+
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip (aug+train) 8-stack hourglass",
+                "value": round(ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / REF_GPU_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Checkpointing (SURVEY.md §2 C10, §5.3/5.4): orbax-backed save/restore of
+the same logical fields the reference persists — {epoch, model state,
+optimizer state, best_acc} — plus best-checkpoint copying on validation
+improvement and append-mode resume.
+
+Layout:
+  <dir>/ckpt/<step>/...   orbax StandardCheckpointer pytree
+  <dir>/best/...          copy of the best-so-far checkpoint
+  (reference wrote checkpoint.pth.tar / model_best.pth.tar; a torch-layout
+  export for cross-validation lives in posetpu.ckpt.torch_export)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from posetpu.train.state import TrainState
+
+
+def _as_pytree(state: TrainState, epoch, best_acc):
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+        "epoch": np.asarray(epoch, np.int32),
+        "best_acc": np.asarray(best_acc, np.float32),
+    }
+
+
+class CheckpointManager:
+    """Thin orbax wrapper with the reference's `checkpoint` + `model_best`
+    behavior."""
+
+    def __init__(self, directory, max_to_keep=3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+        self.max_to_keep = max_to_keep
+
+    def _path(self, epoch):
+        return os.path.join(self.directory, "ckpt", f"{epoch:05d}")
+
+    @property
+    def best_path(self):
+        return os.path.join(self.directory, "best")
+
+    def save(self, state: TrainState, epoch, best_acc, is_best=False):
+        path = self._path(epoch)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckpt.save(path, _as_pytree(state, epoch, best_acc))
+        self._ckpt.wait_until_finished()
+        if is_best:
+            if os.path.exists(self.best_path):
+                shutil.rmtree(self.best_path)
+            shutil.copytree(path, self.best_path)
+        self._gc()
+        return path
+
+    def _gc(self):
+        root = os.path.join(self.directory, "ckpt")
+        if not os.path.isdir(root):
+            return
+        kept = sorted(os.listdir(root))
+        for name in kept[: -self.max_to_keep]:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+    def latest_path(self):
+        root = os.path.join(self.directory, "ckpt")
+        if not os.path.isdir(root) or not os.listdir(root):
+            return None
+        return os.path.join(root, sorted(os.listdir(root))[-1])
+
+    def restore(self, template_state: TrainState, path=None):
+        """Restore into the shapes/dtypes of ``template_state``.  Returns
+        (state, epoch, best_acc); mirrors the reference resume path
+        (SURVEY.md §3.4)."""
+        path = path or self.latest_path()
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        template = _as_pytree(template_state, 0, 0.0)
+        tree = self._ckpt.restore(
+            path, jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        )
+        state = TrainState(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            step=jax.numpy.asarray(tree["step"]),
+        )
+        return state, int(tree["epoch"]), float(tree["best_acc"])

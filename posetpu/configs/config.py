@@ -1,0 +1,191 @@
+"""Experiment configuration dataclasses + the five named configs of
+BASELINE.json:8-12 (SURVEY.md §2 C12, §5.6).
+
+The reference used per-script argparse (CycleGAN-style `options/`); here a
+typed config tree is the source of truth and argparse only overrides leaves,
+keeping the reference's public flag names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class ModelConfig:
+    stacks: int = 8  # reference --stacks
+    blocks: int = 1  # reference --blocks
+    classes: int = 16  # reference --num-classes
+    feats: int = 128  # reference --features
+    depth: int = 4
+    remat: bool = False
+    bf16: bool = True
+
+
+@dataclass
+class AugConfig:
+    inp_res: Tuple[int, int] = (256, 256)
+    out_res: Tuple[int, int] = (64, 64)
+    sigma: float = 1.0  # reference --sigma
+    scale_factor: float = 0.25  # reference --scale-factor
+    rot_factor: float = 30.0  # reference --rot-factor
+    rot_prob: float = 0.6
+    flip_prob: float = 0.5
+    scale_mode: str = "exp"
+    color_jitter: bool = True
+    dataset: str = "mpii"
+
+
+@dataclass
+class OptimConfig:
+    lr: float = 2.5e-4  # reference --lr (RMSprop)
+    epochs: int = 100  # reference --epochs
+    schedule: Sequence[int] = (60, 90)  # reference --schedule (epoch lr drops)
+    gamma: float = 0.1  # reference --gamma
+    rms_decay: float = 0.99  # torch RMSprop alpha
+    rms_eps: float = 1e-8
+    momentum: float = 0.0
+    weight_decay: float = 0.0
+
+
+@dataclass
+class AgentConfig:
+    enabled: bool = False
+    scale_bins: int = 7
+    rot_bins: int = 7
+    occ_nodes: int = 0  # >0 enables AHO head (1 + sum g^2 over levels)
+    occ_levels: Sequence[int] = (1, 2, 4)
+    lr: float = 2.5e-4
+    reward_baseline: str = "batch_mean"  # REINFORCE baseline
+    update_every: int = 1  # agent update cadence vs pose updates
+
+
+@dataclass
+class ExperimentConfig:
+    name: str = "hg2_mpii_mini"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    aug: AugConfig = field(default_factory=AugConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    agent: AgentConfig = field(default_factory=AgentConfig)
+    # data
+    annotations: str = ""  # reference --json path
+    images_dir: str = ""  # reference --image-path
+    pad_hw: Tuple[int, int] = (512, 512)
+    batch_size: int = 6  # reference batch 6/GPU (BASELINE.json:8)
+    # run
+    checkpoint_dir: str = "checkpoints"  # reference --checkpoint
+    resume: str = ""  # reference --resume
+    seed: int = 0
+    num_devices: Optional[int] = None  # None = all visible
+    synthetic: bool = False  # build a synthetic mini-split on the fly
+    steps_per_epoch: Optional[int] = None  # cap (smoke tests)
+    eval_every: int = 1
+    log_every: int = 10
+
+
+def _cfg(name, **kw) -> ExperimentConfig:
+    c = ExperimentConfig(name=name)
+    for k, v in kw.items():
+        head, _, leaf = k.partition(".")
+        if leaf:
+            setattr(getattr(c, head), leaf, v)
+        else:
+            setattr(c, head, v)
+    return c
+
+
+# The five build configs of BASELINE.json:8-12.
+NAMED_CONFIGS = {
+    # 1: 2-stack hourglass, MPII mini-split, fixed random aug, batch 6
+    "hg2_mpii_mini": _cfg(
+        "hg2_mpii_mini",
+        **{"model.stacks": 2, "batch_size": 6, "synthetic": True,
+           "optim.epochs": 10, "optim.schedule": (6, 8)},
+    ),
+    # 2: 8-stack hourglass, MPII full, baseline random augmentation
+    "hg8_mpii": _cfg(
+        "hg8_mpii",
+        **{"model.stacks": 8, "batch_size": 6},
+    ),
+    # 3: 8-stack + adversarial scale-agent joint training on MPII
+    "hg8_mpii_asr": _cfg(
+        "hg8_mpii_asr",
+        **{"model.stacks": 8, "batch_size": 6, "agent.enabled": True},
+    ),
+    # 4: scale+rotation agent, LSP fine-tune with hierarchical aug sampling
+    "hg8_lsp_aho": _cfg(
+        "hg8_lsp_aho",
+        **{"model.stacks": 8, "model.classes": 14, "batch_size": 6,
+           "aug.dataset": "lsp", "agent.enabled": True, "agent.occ_nodes": 22},
+    ),
+    # 5: 384x384 inputs, 8-stack + agent, DP across v5e-8, on-device aug
+    "hg8_mpii_384_dp8": _cfg(
+        "hg8_mpii_384_dp8",
+        **{"model.stacks": 8, "batch_size": 48, "agent.enabled": True,
+           "aug.inp_res": (384, 384), "aug.out_res": (96, 96),
+           "num_devices": 8},
+    ),
+}
+
+
+def named_config(name) -> ExperimentConfig:
+    if name not in NAMED_CONFIGS:
+        raise KeyError(
+            f"unknown config {name!r}; available: {sorted(NAMED_CONFIGS)}"
+        )
+    return dataclasses.replace(NAMED_CONFIGS[name])
+
+
+# ---- argparse overrides (reference flag names) ----
+
+_FLAGS = {
+    # flag -> (path, type)
+    "--stacks": ("model.stacks", int),
+    "--blocks": ("model.blocks", int),
+    "--num-classes": ("model.classes", int),
+    "--features": ("model.feats", int),
+    "--sigma": ("aug.sigma", float),
+    "--scale-factor": ("aug.scale_factor", float),
+    "--rot-factor": ("aug.rot_factor", float),
+    "--lr": ("optim.lr", float),
+    "--epochs": ("optim.epochs", int),
+    "--gamma": ("optim.gamma", float),
+    "--train-batch": ("batch_size", int),
+    "--checkpoint": ("checkpoint_dir", str),
+    "--resume": ("resume", str),
+    "--json": ("annotations", str),
+    "--image-path": ("images_dir", str),
+    "--seed": ("seed", int),
+    "--steps-per-epoch": ("steps_per_epoch", int),
+    "--num-devices": ("num_devices", int),
+}
+
+
+def add_overrides(parser: argparse.ArgumentParser):
+    for flag, (_, typ) in _FLAGS.items():
+        parser.add_argument(flag, type=typ, default=None)
+    parser.add_argument("--schedule", type=int, nargs="*", default=None)
+    parser.add_argument("--synthetic", action="store_true", default=None)
+    parser.add_argument("--no-color-jitter", action="store_true", default=None)
+    return parser
+
+
+def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
+    for flag, (path, _) in _FLAGS.items():
+        v = getattr(args, flag.lstrip("-").replace("-", "_"), None)
+        if v is not None:
+            head, _, leaf = path.partition(".")
+            if leaf:
+                setattr(getattr(cfg, head), leaf, v)
+            else:
+                setattr(cfg, head, v)
+    if getattr(args, "schedule", None) is not None:
+        cfg.optim.schedule = tuple(args.schedule)
+    if getattr(args, "synthetic", None):
+        cfg.synthetic = True
+    if getattr(args, "no_color_jitter", None):
+        cfg.aug.color_jitter = False
+    return cfg

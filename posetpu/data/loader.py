@@ -1,0 +1,119 @@
+"""Decode-only host loader (SURVEY.md §2 C15 rebuilt).
+
+The reference runs decode + augmentation + rasterization in DataLoader fork
+workers; here the host does the one thing XLA cannot: variable-size JPEG
+decode.  Everything downstream (warp, jitter, targets) happens on device
+(:mod:`posetpu.aug.pipeline`).  Batches are padded to one static shape so a
+single compiled program serves every step.
+
+Oversized images are integer-cropped (losslessly — pure translation recorded
+in the center/keypoint metadata) to the pad window around the person before
+padding; pixels beyond the window read as zero on device, mirroring the
+reference's zero border for out-of-image samples.
+
+Prefetch: a background thread decodes batch N+1 while the device runs batch
+N (double buffering).  `posetpu.data.grain_pipeline` offers a grain-backed
+alternative with the same batch contract.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+from PIL import Image
+
+
+def _decode(path):
+    return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+
+
+def load_sample(dataset, i, pad_hw):
+    """Decode sample ``i`` and fit it into a (pad_h, pad_w) canvas.
+
+    Returns dict of numpy arrays (image, valid_wh, center, scale, pts, vis).
+    If the decoded image exceeds the canvas, an integer crop window centered
+    on the person is taken first and all coordinates are shifted by the
+    (integer) offset — an exact, lossless transport of the reference
+    geometry into the static shape.
+    """
+    pad_h, pad_w = pad_hw
+    img = _decode(dataset.image_path(i))
+    c, s, pts, vis = dataset.meta(i)
+    H, W = img.shape[:2]
+    off_x = off_y = 0
+    if H > pad_h or W > pad_w:
+        off_y = min(max(int(round(c[1])) - pad_h // 2, 0), max(H - pad_h, 0))
+        off_x = min(max(int(round(c[0])) - pad_w // 2, 0), max(W - pad_w, 0))
+        img = img[off_y : off_y + pad_h, off_x : off_x + pad_w]
+        H, W = img.shape[:2]
+    canvas = np.zeros((pad_h, pad_w, 3), np.float32)
+    canvas[:H, :W] = img
+    return {
+        "image": canvas,
+        "valid_wh": np.array([W, H], np.int32),
+        "center": (c - [off_x, off_y]).astype(np.float32),
+        "scale": np.float32(s),
+        "pts": (pts - [off_x, off_y]).astype(np.float32),
+        "vis": vis.astype(np.float32),
+        "index": np.int32(i),
+    }
+
+
+def _collate(items):
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class HostLoader:
+    """Iterable over static-shape batches with background decode prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size,
+        pad_hw=(512, 512),
+        shuffle=True,
+        seed=0,
+        drop_last=True,
+        prefetch=2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.pad_hw = pad_hw
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _order(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self):
+        order = self._order()
+        self.epoch += 1
+        nb = len(self)
+        q = queue.Queue(maxsize=self.prefetch)
+
+        def produce():
+            for b in range(nb):
+                sel = order[b * self.batch_size : (b + 1) * self.batch_size]
+                items = [load_sample(self.dataset, int(i), self.pad_hw) for i in sel]
+                q.put(_collate(items))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            yield batch

@@ -1,0 +1,27 @@
+"""Prediction export (SURVEY.md §2 C10 `save_pred`): the reference saves
+validation predictions as ``preds.mat`` (scipy.io) for the official MPII/LSP
+eval scripts; we keep that format plus a portable .npz twin."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def save_preds(preds, path):
+    """Save (N, K, 2) predictions. ``.mat`` uses key 'preds' like the
+    reference; any other extension writes .npz."""
+    preds = np.asarray(preds)
+    if path.endswith(".mat"):
+        from scipy.io import savemat
+
+        savemat(path, {"preds": preds})
+    else:
+        np.savez(path, preds=preds)
+
+
+def load_preds(path):
+    if path.endswith(".mat"):
+        from scipy.io import loadmat
+
+        return np.asarray(loadmat(path)["preds"])
+    return np.load(path)["preds"]

@@ -1,0 +1,113 @@
+"""Adversarial augmentation agents — SURVEY.md §2 C6 (ASR: scale/rotation
+bin predictor) and C13 (AHO: hierarchical occlusion node predictor).
+
+The reference (CVPR'18 arXiv:1805.09707, "adversarial scale & rotation" /
+"adversarial hierarchical occluding") trains a small CNN that looks at the
+*neutrally cropped* sample and outputs categorical distributions over a
+quantized augmentation space; bins that make the pose estimator's loss higher
+get rewarded (REINFORCE-style, SURVEY.md §2 C7).  The reference runs this on
+GPU with host round-trips per batch; here the agent forward, the categorical
+sampling (jax PRNG), and the reward update all live inside one jitted step
+(SURVEY.md §3.2).
+
+Bin tables: scale bins multiplicative around 1 spanning [0.75, 1.25]-ish
+(2^[-0.4, 0.4] quantized), rotation bins spanning [-30, +30] degrees
+(SURVEY.md C6), both configurable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def scale_bin_table(num_bins=7, lo_log2=-0.4, hi_log2=0.4):
+    """Multiplicative scale factors 2^linspace(lo, hi), centered on 1."""
+    return np.exp2(np.linspace(lo_log2, hi_log2, num_bins)).astype(np.float32)
+
+
+def rotation_bin_table(num_bins=7, lo_deg=-30.0, hi_deg=30.0):
+    """Rotation angles in degrees, linear bins, centered on 0."""
+    return np.linspace(lo_deg, hi_deg, num_bins).astype(np.float32)
+
+
+def occlusion_hierarchy(res=(256, 256), levels=(1, 2, 4)):
+    """AHO mask hierarchy (SURVEY.md C13): a coarse-to-fine spatial tree of
+    square occluders.  Level g contributes a g x g grid of cells, each cell
+    occluding 1/(g+1)-ish of the crop side centered on the cell.  Returns an
+    (N, 4) int array of (y0, x0, h, w) boxes; node 0 is "no occlusion".
+    """
+    H, W = res
+    boxes = [(0, 0, 0, 0)]  # node 0: identity (no occlusion)
+    for g in levels:
+        ch, cw = H // (g + 1), W // (g + 1)  # occluder size at this level
+        for i in range(g):
+            for j in range(g):
+                cy = int((i + 1) * H / (g + 1))
+                cx = int((j + 1) * W / (g + 1))
+                boxes.append((cy - ch // 2, cx - cw // 2, ch, cw))
+    return np.asarray(boxes, np.int32)
+
+
+class AugAgent(nn.Module):
+    """Small CNN: neutral crop -> categorical logits over augmentation bins.
+
+    Heads: scale bins, rotation bins (ASR, C6) and optionally occlusion
+    hierarchy nodes (AHO, C13).  Strided convs only (no pooling stack) keep
+    it a handful of MXU-friendly matmuls; global average pool at the end.
+    """
+
+    num_scale_bins: int = 7
+    num_rot_bins: int = 7
+    num_occ_nodes: int = 0  # 0 disables the AHO head
+    widths: Sequence[int] = (32, 64, 128, 256)
+    dtype: Any = jnp.bfloat16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        """x: (B, H, W, 3) neutral crop. Returns dict of f32 logits:
+        ``scale`` (B, S), ``rot`` (B, R), and ``occ`` (B, N) if enabled."""
+        x = x.astype(self.dtype)
+        for i, w in enumerate(self.widths):
+            x = nn.Conv(
+                w,
+                (3, 3) if i else (7, 7),
+                strides=(2, 2),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"conv{i}",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                axis_name=self.axis_name,
+                name=f"bn{i}",
+            )(x)
+            x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        x = nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.relu(x).astype(jnp.float32)
+        out = {
+            "scale": nn.Dense(self.num_scale_bins, dtype=jnp.float32, name="head_scale")(x),
+            "rot": nn.Dense(self.num_rot_bins, dtype=jnp.float32, name="head_rot")(x),
+        }
+        if self.num_occ_nodes > 0:
+            out["occ"] = nn.Dense(self.num_occ_nodes, dtype=jnp.float32, name="head_occ")(x)
+        return out
+
+
+def sample_bins(key, logits):
+    """Sample one bin per sample from categorical ``logits`` (B, N); returns
+    (indices (B,), log_probs (B,)).  Used inside the jitted joint step —
+    sampling never leaves the device (SURVEY.md §3.2)."""
+    idx = jax.random.categorical(key, logits, axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    sel = jnp.take_along_axis(logp, idx[:, None], axis=-1)[:, 0]
+    return idx, sel

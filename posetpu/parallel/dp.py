@@ -1,0 +1,66 @@
+"""shard_map data parallelism (SURVEY.md §5.8).
+
+Mesh recipe: one `data` axis over all chips of the slice
+(`jax.make_mesh((8,), ('data',))` on v5e-8).  The batch shards along axis 0;
+model/optimizer state replicates; gradients and metrics reduce with
+pmean/psum over ICI.  BatchNorm uses the same axis name inside the model so
+normalization statistics are cross-replica — the 8-chip DP run is
+statistically equivalent to the reference's single-device batch (SURVEY.md
+§7 hard-part 5).
+
+The reference's only parallelism was single-process nn.DataParallel
+scatter/gather (C14); there is no NCCL/MPI translation here by design —
+collectives are XLA's, laid out on ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8 exports shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices=None, axis=DATA_AXIS):
+    """1-D device mesh over the first ``num_devices`` visible devices."""
+    devs = jax.devices()
+    if num_devices is not None:
+        if num_devices > len(devs):
+            raise ValueError(
+                f"requested {num_devices} devices, have {len(devs)}"
+            )
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_train_step(train_step, mesh, axis=DATA_AXIS, donate=True):
+    """Wrap a (state, batch, key) -> (state, metrics) step for DP: batch
+    sharded on dim 0, state/key replicated, outputs replicated (grads are
+    pmean'd inside the step)."""
+    fn = _shard_map(
+        train_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def shard_eval_step(eval_step, mesh, axis=DATA_AXIS):
+    """Wrap a (state, batch) -> (metrics, preds) eval step: metrics
+    replicated, per-sample preds stay sharded along the batch."""
+    fn = _shard_map(
+        eval_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)

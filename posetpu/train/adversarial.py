@@ -1,0 +1,255 @@
+"""Joint adversarial augmentation training (SURVEY.md §2 C6/C7/C13, §3.2).
+
+Reference flow per batch (host-bound): neutral crop from loader -> agent on
+GPU -> sample bins -> *CPU* re-warp + re-rasterize -> pose fwd/bwd ->
+REINFORCE reward from per-sample loss comparison -> alternate optimizer
+steps.  The device<->host round trips per batch were THE bottleneck
+(BASELINE.json:5).
+
+Here the ENTIRE minimax step is one jitted, shard_map-able program:
+
+  neutral crop (device warp)                    posetpu.aug
+  -> agent forward (bf16 convs)                 posetpu.models.agent
+  -> categorical bin sampling (jax PRNG)
+  -> adversarial warp + rasterize (device)      posetpu.aug
+  -> AHO occlusion masking (optional)
+  -> pose fwd/bwd on the adversarial batch
+  -> reference-aug forward (no grad) as the REINFORCE baseline
+  -> reward = per-sample loss(sampled aug) - loss(reference aug)
+  -> agent REINFORCE update + pose RMSprop update
+
+Reward rule (C7): bins whose augmentation makes the pose network's loss
+HIGHER than the reference augmentation get their probability increased
+(policy-gradient ascent on estimator loss), pose net descends on its own
+loss — the paper's minimax joint optimization.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from posetpu.aug.pipeline import AugParams, augment_batch, neutral_params, sample_aug_params
+from posetpu.eval.decode import accuracy
+from posetpu.models.agent import sample_bins
+from posetpu.train.state import TrainState
+from posetpu.train.step import _augment
+
+
+@flax.struct.dataclass
+class JointState:
+    pose: TrainState
+    agent: TrainState
+    step: jnp.ndarray
+
+
+def per_sample_stacked_mse(outputs, target_nhwc):
+    """Reference loss per sample: MSE over elements summed over stacks,
+    keeping the batch dim — the reward signal needs per-sample losses."""
+    loss = 0.0
+    for o in outputs:
+        err = (o.astype(jnp.float32) - target_nhwc) ** 2
+        loss = loss + jnp.mean(err, axis=(1, 2, 3))
+    return loss  # (B,)
+
+
+def apply_occlusion(images, node_idx, boxes):
+    """Zero out the sampled occluder box per sample (AHO, C13).
+
+    images: (B, H, W, C) normalized crops; node_idx: (B,) into ``boxes``
+    (node 0 = no occlusion, box (0,0,0,0)); boxes: (N, 4) static
+    (y0, x0, h, w).  Zero is the dataset mean after normalization.
+    """
+    B, H, W, _ = images.shape
+    box = jnp.asarray(boxes)[node_idx]  # (B, 4)
+    y0 = box[:, 0][:, None, None]
+    x0 = box[:, 1][:, None, None]
+    h = box[:, 2][:, None, None]
+    w = box[:, 3][:, None, None]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    inside = (ys >= y0) & (ys < y0 + h) & (xs >= x0) & (xs < x0 + w)
+    return jnp.where(inside[..., None], 0.0, images)
+
+
+def make_joint_step(
+    pose_model,
+    agent_model,
+    pose_tx,
+    agent_tx,
+    aug_cfg,
+    mean,
+    std=None,
+    *,
+    scale_table,
+    rot_table,
+    occ_boxes=None,
+    axis_name=None,
+    baseline="batch_mean",
+):
+    """Build the jitted joint minimax step (configs 3-5 of
+    BASELINE.json:10-12)."""
+    scale_table = jnp.asarray(scale_table, jnp.float32)
+    rot_table = jnp.asarray(rot_table, jnp.float32)
+
+    def joint_step(state: JointState, batch, key):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        key = jax.random.fold_in(key, state.step)
+        k_s, k_r, k_o, k_flip, k_jit, k_ref = jax.random.split(key, 6)
+        B = batch["image"].shape[0]
+
+        # --- 1. neutral crop for the agent (SURVEY.md §3.2) ---
+        aug_n = _augment(batch, neutral_params(B), aug_cfg, mean, std, None)
+
+        # --- 2-3. agent forward + bin sampling ---
+        def agent_loss_fn(agent_params):
+            logits, mut = agent_model.apply(
+                {"params": agent_params, "batch_stats": state.agent.batch_stats},
+                aug_n["input"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            si, logp_s = sample_bins(k_s, logits["scale"])
+            ri, logp_r = sample_bins(k_r, logits["rot"])
+            logp = logp_s + logp_r
+            extras = {"si": si, "ri": ri}
+            if occ_boxes is not None:
+                oi, logp_o = sample_bins(k_o, logits["occ"])
+                logp = logp + logp_o
+                extras["oi"] = oi
+            return logp, (extras, mut["batch_stats"], logits)
+
+        # Sample once (no grad yet) to build the augmented batch.
+        logp0, (extras, _, _) = agent_loss_fn(state.agent.params)
+        flip = jax.random.uniform(k_flip, (B,)) < aug_cfg.flip_prob
+        adv_params = AugParams(
+            scale_factor=scale_table[extras["si"]],
+            rot=rot_table[extras["ri"]],
+            flip=flip,
+        )
+
+        # --- 4-5. adversarial warp + rasterize on device ---
+        aug_a = _augment(
+            batch,
+            adv_params,
+            aug_cfg,
+            mean,
+            std,
+            k_jit if aug_cfg.color_jitter else None,
+        )
+        inp_a = aug_a["input"]
+        if occ_boxes is not None:
+            inp_a = apply_occlusion(inp_a, extras["oi"], occ_boxes)
+        target_a = aug_a["target"].transpose(0, 2, 3, 1)
+
+        # --- 6. pose forward/backward on the adversarial batch ---
+        def pose_loss_fn(pose_params):
+            outs, mut = pose_model.apply(
+                {"params": pose_params, "batch_stats": state.pose.batch_stats},
+                inp_a,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            l_sample = per_sample_stacked_mse(outs, target_a)  # (B,)
+            return jnp.mean(l_sample), (l_sample, mut["batch_stats"], outs[-1])
+
+        (pose_loss, (l_adv, new_pose_bs, last)), pose_grads = (
+            jax.value_and_grad(pose_loss_fn, has_aux=True)(state.pose.params)
+        )
+
+        # --- 7. reference augmentation forward (no grad): baseline ---
+        ref_params = sample_aug_params(
+            k_ref,
+            B,
+            scale_factor=aug_cfg.scale_factor,
+            rot_factor=aug_cfg.rot_factor,
+            rot_prob=aug_cfg.rot_prob,
+            flip_prob=aug_cfg.flip_prob,
+            scale_mode=aug_cfg.scale_mode,
+        )
+        aug_r = _augment(batch, ref_params, aug_cfg, mean, std, None)
+        outs_r = pose_model.apply(
+            {"params": state.pose.params, "batch_stats": state.pose.batch_stats},
+            aug_r["input"],
+            train=False,
+        )
+        l_ref = per_sample_stacked_mse(
+            outs_r, aug_r["target"].transpose(0, 2, 3, 1)
+        )
+
+        # --- reward: harder-than-reference bins get positive advantage ---
+        adv = jax.lax.stop_gradient(l_adv - l_ref)  # (B,)
+        if baseline == "batch_mean":
+            m = jnp.mean(adv)
+            s = jnp.std(adv) + 1e-6
+            if axis_name is not None:
+                m = jax.lax.pmean(m, axis_name)
+                s = jax.lax.pmean(s, axis_name)
+            adv = (adv - m) / s
+        elif baseline == "sign":
+            adv = jnp.sign(adv)
+
+        # --- agent REINFORCE update: ascend E[advantage * log pi] ---
+        def agent_objective(agent_params):
+            logp, (_, new_bs, logits) = agent_loss_fn(agent_params)
+            loss = -jnp.mean(adv * logp)
+            ent = -jnp.mean(
+                jax.nn.softmax(logits["scale"]) * jax.nn.log_softmax(logits["scale"])
+            )
+            return loss, (new_bs, ent)
+
+        (agent_loss, (new_agent_bs, entropy)), agent_grads = (
+            jax.value_and_grad(agent_objective, has_aux=True)(state.agent.params)
+        )
+
+        if axis_name is not None:
+            pose_grads = jax.lax.pmean(pose_grads, axis_name)
+            agent_grads = jax.lax.pmean(agent_grads, axis_name)
+            pose_loss = jax.lax.pmean(pose_loss, axis_name)
+            agent_loss = jax.lax.pmean(agent_loss, axis_name)
+
+        p_updates, new_pose_opt = pose_tx.update(
+            pose_grads, state.pose.opt_state, state.pose.params
+        )
+        new_pose_params = optax.apply_updates(state.pose.params, p_updates)
+        a_updates, new_agent_opt = agent_tx.update(
+            agent_grads, state.agent.opt_state, state.agent.params
+        )
+        new_agent_params = optax.apply_updates(state.agent.params, a_updates)
+
+        acc = accuracy(
+            last.astype(jnp.float32).transpose(0, 3, 1, 2), aug_a["target"]
+        )[0]
+        if axis_name is not None:
+            acc = jax.lax.pmean(acc, axis_name)
+
+        new_state = JointState(
+            pose=TrainState(
+                params=new_pose_params,
+                batch_stats=new_pose_bs,
+                opt_state=new_pose_opt,
+                step=state.pose.step + 1,
+            ),
+            agent=TrainState(
+                params=new_agent_params,
+                batch_stats=new_agent_bs,
+                opt_state=new_agent_opt,
+                step=state.agent.step + 1,
+            ),
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": pose_loss,
+            "acc": acc,
+            "agent_loss": agent_loss,
+            "advantage": jnp.mean(l_adv - l_ref),
+            "entropy": entropy,
+        }
+        return new_state, metrics
+
+    return joint_step

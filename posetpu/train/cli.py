@@ -1,0 +1,62 @@
+"""Training CLI (SURVEY.md §2 C12; L5/L6 public entry point).
+
+Usage mirrors the reference's per-experiment scripts through one binary:
+
+    posetpu-train --config hg8_mpii --json data/mpii/annotations.json \
+        --image-path data/mpii/images --checkpoint checkpoints/hg8
+    posetpu-train --config hg2_mpii_mini --synthetic --epochs 2
+
+Flag names (`--stacks --blocks --sigma --scale-factor --rot-factor --lr
+--schedule --resume ...`) match the reference CLI (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from posetpu.configs import NAMED_CONFIGS, add_overrides, apply_overrides, named_config
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="posetpu-train",
+        description="TPU-native pose-adv-aug training (posetpu)",
+    )
+    p.add_argument(
+        "--config",
+        default="hg2_mpii_mini",
+        choices=sorted(NAMED_CONFIGS),
+        help="named experiment config (BASELINE.json build configs)",
+    )
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument(
+        "--cpu-devices", type=int, default=None, help="virtual CPU device count"
+    )
+    add_overrides(p)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+
+    if args.cpu or args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+        if args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+
+    cfg = named_config(args.config)
+    cfg = apply_overrides(cfg, args)
+
+    from posetpu.train.loop import Experiment
+
+    print(f"[posetpu] config={cfg.name} devices={jax.local_device_count()} "
+          f"({jax.devices()[0].platform})")
+    exp = Experiment(cfg)
+    state, best = exp.fit()
+    print(f"[posetpu] done; best val acc {best:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

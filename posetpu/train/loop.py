@@ -1,0 +1,280 @@
+"""Experiment driver (SURVEY.md §2 C8, §3.1): builds data/model/optimizer
+from an ExperimentConfig, runs per-epoch train/validate with running meters,
+logs the reference's txt columns, checkpoints (best-on-val-improvement), and
+exports validation predictions — the L5/L7 layers of the reference rebuilt
+around the fused device steps.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posetpu.ckpt import CheckpointManager
+from posetpu.configs import ExperimentConfig
+from posetpu.data import HostLoader, LspDataset, MpiiDataset, make_synthetic_dataset
+from posetpu.eval import save_preds
+from posetpu.models import (
+    AugAgent,
+    hg,
+    occlusion_hierarchy,
+    rotation_bin_table,
+    scale_bin_table,
+)
+from posetpu.parallel import make_mesh, shard_eval_step, shard_train_step
+from posetpu.train.adversarial import JointState, make_joint_step
+from posetpu.train.state import TrainState, make_optimizer
+from posetpu.train.step import make_eval_step, make_train_step
+from posetpu.utils.logger import AverageMeter, Logger
+
+
+def build_dataset(cfg: ExperimentConfig, split="train"):
+    if cfg.synthetic and not cfg.annotations:
+        root = os.path.join(tempfile.gettempdir(), f"posetpu_synth_{cfg.aug.dataset}")
+        json_path = os.path.join(root, "annotations.json")
+        if not os.path.exists(json_path):
+            make_synthetic_dataset(
+                root,
+                num_train=64,
+                num_val=16,
+                dataset=cfg.aug.dataset,
+                seed=cfg.seed,
+            )
+        cfg.annotations = json_path
+        cfg.images_dir = os.path.join(root, "images")
+    cls = LspDataset if cfg.aug.dataset == "lsp" else MpiiDataset
+    return cls(cfg.annotations, cfg.images_dir, split=split)
+
+
+class Experiment:
+    """Holds everything needed to run/resume one config."""
+
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        self.train_ds = build_dataset(cfg, "train")
+        self.val_ds = build_dataset(cfg, "valid")
+        self.mean, self.std = self.train_ds.mean_std()
+        self.std = None  # reference normalizes by mean subtraction only
+
+        n_dev = cfg.num_devices or jax.local_device_count()
+        n_dev = min(n_dev, jax.local_device_count())
+        self.dp = n_dev > 1
+        self.axis = "data" if self.dp else None
+        self.mesh = make_mesh(n_dev) if self.dp else None
+        if cfg.batch_size % n_dev:
+            raise ValueError(
+                f"batch {cfg.batch_size} not divisible by {n_dev} devices"
+            )
+
+        mdl_kw = dict(
+            num_stacks=cfg.model.stacks,
+            num_blocks=cfg.model.blocks,
+            num_classes=cfg.model.classes,
+            num_feats=cfg.model.feats,
+            depth=cfg.model.depth,
+            remat=cfg.model.remat,
+            dtype=jnp.bfloat16 if cfg.model.bf16 else jnp.float32,
+            axis_name=self.axis,
+        )
+        self.model = hg(**mdl_kw)
+
+        self.loader = HostLoader(
+            self.train_ds, cfg.batch_size, pad_hw=tuple(cfg.pad_hw), seed=cfg.seed
+        )
+        self.val_loader = HostLoader(
+            self.val_ds,
+            cfg.batch_size,
+            pad_hw=tuple(cfg.pad_hw),
+            shuffle=False,
+            drop_last=False,
+        )
+        self.steps_per_epoch = cfg.steps_per_epoch or len(self.loader)
+        self.tx = make_optimizer(cfg.optim, self.steps_per_epoch)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        x = jnp.zeros((1, *cfg.aug.inp_res, 3))
+        variables = self.model.init(key, x, train=True)
+        pose_state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        if cfg.agent.enabled:
+            self.scale_table = scale_bin_table(cfg.agent.scale_bins)
+            self.rot_table = rotation_bin_table(
+                cfg.agent.rot_bins, -cfg.aug.rot_factor, cfg.aug.rot_factor
+            )
+            self.occ_boxes = (
+                occlusion_hierarchy(tuple(cfg.aug.inp_res), tuple(cfg.agent.occ_levels))
+                if cfg.agent.occ_nodes
+                else None
+            )
+            self.agent_model = AugAgent(
+                num_scale_bins=cfg.agent.scale_bins,
+                num_rot_bins=cfg.agent.rot_bins,
+                num_occ_nodes=(len(self.occ_boxes) if self.occ_boxes is not None else 0),
+                axis_name=self.axis,
+            )
+            avars = self.agent_model.init(
+                jax.random.PRNGKey(cfg.seed + 1), x, train=True
+            )
+            self.agent_tx = make_optimizer(
+                type(cfg.optim)(lr=cfg.agent.lr), self.steps_per_epoch
+            )
+            agent_state = TrainState(
+                params=avars["params"],
+                batch_stats=avars["batch_stats"],
+                opt_state=self.agent_tx.init(avars["params"]),
+                step=jnp.zeros((), jnp.int32),
+            )
+            self.state = JointState(
+                pose=pose_state, agent=agent_state, step=jnp.zeros((), jnp.int32)
+            )
+            raw_step = make_joint_step(
+                self.model,
+                self.agent_model,
+                self.tx,
+                self.agent_tx,
+                cfg.aug,
+                self.mean,
+                self.std,
+                scale_table=self.scale_table,
+                rot_table=self.rot_table,
+                occ_boxes=self.occ_boxes,
+                axis_name=self.axis,
+                baseline=cfg.agent.reward_baseline,
+            )
+        else:
+            self.state = pose_state
+            raw_step = make_train_step(
+                self.model, self.tx, cfg.aug, self.mean, self.std, axis_name=self.axis
+            )
+
+        raw_eval = make_eval_step(
+            self._pose_model_for_eval(),
+            cfg.aug,
+            self.mean,
+            self.std,
+            axis_name=self.axis,
+        )
+        if self.dp:
+            self.train_step = shard_train_step(raw_step, self.mesh)
+            self.eval_step = shard_eval_step(self._eval_on_pose(raw_eval), self.mesh)
+        else:
+            self.train_step = jax.jit(raw_step, donate_argnums=(0,))
+            self.eval_step = jax.jit(self._eval_on_pose(raw_eval))
+
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.checkpoint_dir, cfg.name)
+        )
+        self.logger = Logger(
+            os.path.join(cfg.checkpoint_dir, cfg.name, "log.txt"),
+            resume=bool(cfg.resume),
+        )
+        self.logger.set_names(Logger.DEFAULT_NAMES)
+        self.start_epoch = 0
+        self.best_acc = 0.0
+        if cfg.resume:
+            self._resume(cfg.resume)
+
+    def _pose_model_for_eval(self):
+        return self.model
+
+    def _eval_on_pose(self, raw_eval):
+        """Adapt eval (which wants a pose TrainState) to joint state."""
+        if not self.cfg.agent.enabled:
+            return raw_eval
+
+        def ev(state, batch):
+            return raw_eval(state.pose, batch)
+
+        return ev
+
+    def _resume(self, path):
+        path = None if path == "auto" else path
+        self.state, last_epoch, self.best_acc = self.ckpt.restore(
+            self.state, path
+        )
+        # checkpoints record the last COMPLETED epoch; resume at the next one
+        # (reference resume semantics, SURVEY.md §3.4)
+        self.start_epoch = last_epoch + 1
+
+    # ---- epoch loops ----
+
+    def train_epoch(self, epoch, key):
+        meters = {}
+        t0 = time.time()
+        seen = 0
+        for i, batch in enumerate(self.loader):
+            if i >= self.steps_per_epoch:
+                break
+            key, sub = jax.random.split(key)
+            self.state, metrics = self.train_step(self.state, batch, sub)
+            seen += batch["image"].shape[0]
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+        dt = time.time() - t0
+        out = {k: m.avg for k, m in meters.items()}
+        out["images_per_sec"] = seen / dt if dt > 0 else 0.0
+        return out, key
+
+    def validate(self, epoch):
+        meters = {}
+        all_preds = []
+        for batch in self.val_loader:
+            metrics, preds = self.eval_step(self.state, batch)
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+            all_preds.append(np.asarray(preds))
+        out = {k: m.avg for k, m in meters.items()}
+        preds = np.concatenate(all_preds) if all_preds else np.zeros((0, 0, 2))
+        return out, preds
+
+    def current_lr(self, epoch):
+        lr = self.cfg.optim.lr
+        for e in self.cfg.optim.schedule:
+            if epoch >= e:
+                lr *= self.cfg.optim.gamma
+        return lr
+
+    def fit(self, progress=print):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed + 1234)
+        for epoch in range(self.start_epoch, cfg.optim.epochs):
+            tr, key = self.train_epoch(epoch, key)
+            if (epoch + 1) % cfg.eval_every == 0 or epoch == cfg.optim.epochs - 1:
+                va, preds = self.validate(epoch)
+            else:
+                va, preds = {"loss": float("nan"), "acc": 0.0}, None
+            is_best = va["acc"] > self.best_acc
+            self.best_acc = max(self.best_acc, va["acc"])
+            self.logger.append(
+                [
+                    epoch,
+                    self.current_lr(epoch),
+                    tr["loss"],
+                    va["loss"],
+                    tr["acc"],
+                    va["acc"],
+                ]
+            )
+            self.ckpt.save(self.state, epoch, self.best_acc, is_best=is_best)
+            if is_best and preds is not None:
+                save_preds(
+                    preds,
+                    os.path.join(cfg.checkpoint_dir, cfg.name, "preds.mat"),
+                )
+            progress(
+                f"epoch {epoch}: train loss {tr['loss']:.5f} acc {tr['acc']:.3f} "
+                f"| val loss {va['loss']:.5f} acc {va['acc']:.3f} "
+                f"| {tr['images_per_sec']:.1f} img/s"
+                + (f" | agent {tr.get('agent_loss', 0):+.4f}" if "agent_loss" in tr else "")
+            )
+        return self.state, self.best_acc

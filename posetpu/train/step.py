@@ -1,0 +1,150 @@
+"""Fused train/eval steps (SURVEY.md §3.1 rebuilt as ONE jitted program).
+
+The reference's per-batch path was: CPU workers augment + rasterize -> H2D
+copy -> GPU fwd/bwd -> D2H for metrics.  Here a single XLA program does
+device-side augmentation, all-stacks forward, summed-MSE loss
+(`nn.MSELoss` over every stack's heatmaps), backward, RMSprop update, and
+train-time PCK — no host round-trips; under data parallelism the same
+function runs inside shard_map with `psum` gradient/metric reductions over
+the ICI mesh axis (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from posetpu.aug.pipeline import (
+    augment_batch,
+    neutral_params,
+    sample_aug_params,
+)
+from posetpu.eval.decode import accuracy, final_preds
+from posetpu.train.state import TrainState
+
+
+def _augment(batch, params, aug_cfg, mean, std, jitter_key):
+    return augment_batch(
+        batch["image"],
+        batch["valid_wh"],
+        batch["center"],
+        batch["scale"],
+        batch["pts"],
+        batch["vis"],
+        params,
+        inp_res=tuple(aug_cfg.inp_res),
+        out_res=tuple(aug_cfg.out_res),
+        sigma=aug_cfg.sigma,
+        mean=mean,
+        std=std,
+        dataset=aug_cfg.dataset,
+        jitter_key=jitter_key,
+    )
+
+
+def stacked_mse(outputs, target_nhwc, weight=None):
+    """Reference loss: MSE averaged over elements, summed over stacks
+    (SURVEY.md §2 C8).  ``weight`` (B, K) optionally masks invisible
+    joints (off by default — the reference regresses zeros there)."""
+    loss = 0.0
+    for o in outputs:
+        err = (o.astype(jnp.float32) - target_nhwc) ** 2
+        if weight is not None:
+            err = err * weight[:, None, None, :]
+        loss = loss + jnp.mean(err)
+    return loss
+
+
+def make_train_step(
+    model, tx, aug_cfg, mean, std=None, axis_name=None, mask_loss=False
+):
+    """Build the jitted baseline train step (no agent; configs 1-2 of
+    BASELINE.json:8-9).  With ``axis_name`` the returned function is meant
+    to run inside shard_map over that mesh axis."""
+
+    def train_step(state: TrainState, batch, key):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        key = jax.random.fold_in(key, state.step)
+        k_par, k_jit = jax.random.split(key)
+        B = batch["image"].shape[0]
+        params_aug = sample_aug_params(
+            k_par,
+            B,
+            scale_factor=aug_cfg.scale_factor,
+            rot_factor=aug_cfg.rot_factor,
+            rot_prob=aug_cfg.rot_prob,
+            flip_prob=aug_cfg.flip_prob,
+            scale_mode=aug_cfg.scale_mode,
+        )
+        aug = _augment(
+            batch,
+            params_aug,
+            aug_cfg,
+            mean,
+            std,
+            k_jit if aug_cfg.color_jitter else None,
+        )
+        target = aug["target"].transpose(0, 2, 3, 1)  # NHWC
+
+        def loss_fn(p):
+            outs, mut = model.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                aug["input"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = stacked_mse(
+                outs, target, aug["target_weight"] if mask_loss else None
+            )
+            return loss, (mut["batch_stats"], outs[-1])
+
+        (loss, (new_bs, last)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        acc = accuracy(
+            last.astype(jnp.float32).transpose(0, 3, 1, 2), aug["target"]
+        )[0]
+        if axis_name is not None:
+            acc = jax.lax.pmean(acc, axis_name)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "acc": acc}
+
+    return train_step
+
+
+def make_eval_step(model, aug_cfg, mean, std=None, axis_name=None):
+    """Validation step (SURVEY.md §3.3): neutral crop, forward, train-time
+    PCK + full decode back to source coords for offline PCKh / preds.mat."""
+
+    def eval_step(state: TrainState, batch):
+        B = batch["image"].shape[0]
+        aug = _augment(batch, neutral_params(B), aug_cfg, mean, std, None)
+        outs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            aug["input"],
+            train=False,
+        )
+        scores = outs[-1].astype(jnp.float32).transpose(0, 3, 1, 2)
+        acc = accuracy(scores, aug["target"])[0]
+        loss = stacked_mse(outs, aug["target"].transpose(0, 2, 3, 1))
+        if axis_name is not None:
+            acc = jax.lax.pmean(acc, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        preds = final_preds(
+            scores, aug["center"], aug["scale"], tuple(aug_cfg.out_res)
+        )
+        return {"loss": loss, "acc": acc}, preds
+
+    return eval_step

@@ -1,0 +1,135 @@
+"""Data layer tests (SURVEY.md §4.3): schema round-trip, dataset conventions,
+synthetic mini-split, host loader batch contract."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from posetpu.data import (
+    HostLoader,
+    LspDataset,
+    MpiiDataset,
+    load_annotations,
+    load_sample,
+    make_synthetic_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    make_synthetic_dataset(str(d), num_train=12, num_val=4, res=(320, 240))
+    return str(d)
+
+
+class TestSchema:
+    def test_round_trip(self, synth_dir):
+        path = os.path.join(synth_dir, "annotations.json")
+        samples = load_annotations(path, os.path.join(synth_dir, "images"))
+        assert len(samples) == 16
+        s = samples[0]
+        assert s.pts.shape == (16, 2)
+        assert s.vis.shape == (16,)
+        assert s.scale > 0
+        assert os.path.exists(s.img_path)
+
+    def test_reference_schema_keys(self, synth_dir):
+        with open(os.path.join(synth_dir, "annotations.json")) as f:
+            raw = json.load(f)
+        for key in ("img_paths", "objpos", "scale_provided", "joint_self", "isValidation"):
+            assert key in raw[0]
+        assert len(raw[0]["joint_self"][0]) == 3  # [x, y, vis]
+
+
+class TestDatasets:
+    def test_split_filtering(self, synth_dir):
+        path = os.path.join(synth_dir, "annotations.json")
+        imgs = os.path.join(synth_dir, "images")
+        train = MpiiDataset(path, imgs, split="train")
+        val = MpiiDataset(path, imgs, split="valid")
+        assert len(train) == 12 and len(val) == 4
+
+    def test_center_scale_adjustment(self, synth_dir):
+        path = os.path.join(synth_dir, "annotations.json")
+        imgs = os.path.join(synth_dir, "images")
+        ds = MpiiDataset(path, imgs, split="train", adjust=True)
+        raw = MpiiDataset(path, imgs, split="train", adjust=False)
+        c_adj, s_adj, _, _ = ds.meta(0)
+        c_raw, s_raw, _, _ = raw.meta(0)
+        np.testing.assert_allclose(s_adj, s_raw * 1.25)
+        np.testing.assert_allclose(c_adj[1], c_raw[1] + 15 * s_raw)
+        np.testing.assert_allclose(c_adj[0], c_raw[0])
+
+    def test_mean_std_cache(self, synth_dir):
+        path = os.path.join(synth_dir, "annotations.json")
+        imgs = os.path.join(synth_dir, "images")
+        ds = MpiiDataset(path, imgs, split="train")
+        mean, std = ds.mean_std(max_samples=4)
+        assert mean.shape == (3,) and std.shape == (3,)
+        assert (mean > 0).all() and (mean < 1).all()
+        mean2, _ = ds.mean_std()  # second call hits the cache file
+        np.testing.assert_allclose(mean, mean2)
+
+    def test_lsp_dataset(self, tmp_path):
+        make_synthetic_dataset(
+            str(tmp_path), num_train=4, num_val=2, dataset="lsp"
+        )
+        ds = LspDataset(
+            os.path.join(tmp_path, "annotations.json"),
+            os.path.join(tmp_path, "images"),
+            split="train",
+        )
+        _, _, pts, vis = ds.meta(0)
+        assert pts.shape == (14, 2)
+        assert ds.flip_pairs == "lsp"
+
+
+class TestHostLoader:
+    def test_batch_contract(self, synth_dir):
+        path = os.path.join(synth_dir, "annotations.json")
+        imgs = os.path.join(synth_dir, "images")
+        ds = MpiiDataset(path, imgs, split="train")
+        loader = HostLoader(ds, batch_size=4, pad_hw=(256, 384), shuffle=True)
+        batches = list(loader)
+        assert len(batches) == 3
+        b = batches[0]
+        assert b["image"].shape == (4, 256, 384, 3)
+        assert b["image"].dtype == np.float32
+        assert b["valid_wh"].shape == (4, 2)
+        assert (b["valid_wh"] == [320, 240]).all()
+        assert b["pts"].shape == (4, 16, 2)
+        assert 0.0 <= b["image"].min() and b["image"].max() <= 1.0
+        # padding rows are zero
+        assert b["image"][:, 240:, :, :].max() == 0.0
+
+    def test_shuffle_reproducible_and_epoch_varies(self, synth_dir):
+        path = os.path.join(synth_dir, "annotations.json")
+        imgs = os.path.join(synth_dir, "images")
+        ds = MpiiDataset(path, imgs, split="train")
+        l1 = HostLoader(ds, 4, pad_hw=(256, 384), seed=7)
+        l2 = HostLoader(ds, 4, pad_hw=(256, 384), seed=7)
+        i1 = [b["index"].tolist() for b in l1]
+        i2 = [b["index"].tolist() for b in l2]
+        assert i1 == i2
+        i1b = [b["index"].tolist() for b in l1]  # epoch 2 reshuffles
+        assert i1 != i1b
+
+    def test_oversize_crop_is_lossless_translation(self, synth_dir):
+        path = os.path.join(synth_dir, "annotations.json")
+        imgs = os.path.join(synth_dir, "images")
+        ds = MpiiDataset(path, imgs, split="train")
+        full = load_sample(ds, 0, (240, 320))
+        small = load_sample(ds, 0, (200, 200))  # forces a crop window
+        off = full["center"] - small["center"]
+        np.testing.assert_allclose(
+            full["pts"] - small["pts"], np.broadcast_to(off, (16, 2)), atol=1e-3
+        )
+        assert float(small["scale"]) == float(full["scale"])
+        # window content matches the original at the offset
+        oy, ox = int(round(off[1])), int(round(off[0]))
+        np.testing.assert_allclose(
+            small["image"][:100, :100],
+            full["image"][oy : oy + 100, ox : ox + 100],
+        )

@@ -1,0 +1,176 @@
+"""Train-step integration tests (SURVEY.md §4.3/§4.4): the fused jitted step
+learns on the synthetic mini-split, and the shard_map DP step is numerically
+equivalent to the single-device step on the merged batch."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posetpu.configs import named_config
+from posetpu.data import HostLoader, MpiiDataset, make_synthetic_dataset
+from posetpu.models import hg
+from posetpu.parallel import make_mesh, shard_eval_step, shard_train_step
+from posetpu.train.state import TrainState, make_optimizer
+from posetpu.train.step import make_eval_step, make_train_step
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth_train")
+    make_synthetic_dataset(str(d), num_train=16, num_val=8, res=(320, 240))
+    ds = MpiiDataset(
+        os.path.join(d, "annotations.json"),
+        os.path.join(d, "images"),
+        split="train",
+    )
+    return ds
+
+
+def _setup(cfg, seed=0):
+    model = hg(
+        num_stacks=cfg.model.stacks,
+        num_blocks=cfg.model.blocks,
+        num_classes=cfg.model.classes,
+        num_feats=cfg.model.feats,
+    )
+    x = jnp.zeros((1, *cfg.aug.inp_res, 3))
+    variables = model.init(jax.random.PRNGKey(seed), x, train=True)
+    tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, tx, state
+
+
+def _tiny_cfg(**kw):
+    cfg = named_config("hg2_mpii_mini")
+    cfg.model.stacks = 1
+    cfg.model.feats = 16
+    cfg.aug.inp_res = (64, 64)
+    cfg.aug.out_res = (16, 16)
+    for k, v in kw.items():
+        head, _, leaf = k.partition(".")
+        if leaf:
+            setattr(getattr(cfg, head), leaf, v)
+        else:
+            setattr(cfg, head, v)
+    return cfg
+
+
+MEAN = (0.2, 0.2, 0.2)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, synth):
+        cfg = _tiny_cfg()
+        model, tx, state = _setup(cfg)
+        step = jax.jit(make_train_step(model, tx, cfg.aug, MEAN))
+        loader = HostLoader(synth, 8, pad_hw=(256, 384), seed=0)
+        losses = []
+        key = jax.random.PRNGKey(0)
+        for epoch in range(6):
+            for batch in loader:
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, batch, sub)
+                losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+        assert int(state.step) == len(losses)
+
+    def test_eval_step_shapes(self, synth):
+        cfg = _tiny_cfg()
+        model, tx, state = _setup(cfg)
+        ev = jax.jit(make_eval_step(model, cfg.aug, MEAN))
+        batch = next(iter(HostLoader(synth, 4, pad_hw=(256, 384))))
+        metrics, preds = ev(state, batch)
+        assert preds.shape == (4, 16, 2)
+        assert np.isfinite(float(metrics["loss"]))
+        assert 0.0 <= float(metrics["acc"]) <= 1.0
+
+
+class TestDataParallel:
+    def test_dp_equals_single_device(self, synth):
+        # deterministic aug so the only difference is the sharding
+        cfg = _tiny_cfg(
+            **{
+                "aug.scale_factor": 0.0,
+                "aug.rot_factor": 0.0,
+                "aug.rot_prob": 0.0,
+                "aug.flip_prob": 0.0,
+                "aug.color_jitter": False,
+            }
+        )
+        mesh = make_mesh(8)
+        # f32 models: the equivalence claim is exact math; bf16 accumulation
+        # order would add ~2^-8 relative noise and mask real bugs.
+        model_dp = hg(
+            num_stacks=1, num_feats=16, num_classes=16, axis_name="data",
+            dtype=jnp.float32,
+        )
+        model_1d = hg(num_stacks=1, num_feats=16, num_classes=16, dtype=jnp.float32)
+        tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model_1d.init(jax.random.PRNGKey(0), x, train=True)
+        state0 = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        batch = next(iter(HostLoader(synth, 16, pad_hw=(256, 384), seed=3)))
+        key = jax.random.PRNGKey(7)
+
+        step_1d = jax.jit(make_train_step(model_1d, tx, cfg.aug, MEAN))
+        s1, m1 = step_1d(state0, batch, key)
+
+        step_dp = shard_train_step(
+            make_train_step(model_dp, tx, cfg.aug, MEAN, axis_name="data"),
+            mesh,
+            donate=False,
+        )
+        s8, m8 = step_dp(state0, batch, key)
+
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m8["loss"]), rtol=2e-4
+        )
+        # parameters after one update agree across implementations
+        flat1 = jax.tree.leaves(s1.params)
+        flat8 = jax.tree.leaves(s8.params)
+        for a, b in zip(flat1, flat8):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+            )
+        # cross-replica BN stats equal full-batch BN stats
+        bs1 = jax.tree.leaves(s1.batch_stats)
+        bs8 = jax.tree.leaves(s8.batch_stats)
+        for a, b in zip(bs1, bs8):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+            )
+
+    def test_dp_eval_gathers_preds(self, synth):
+        cfg = _tiny_cfg()
+        mesh = make_mesh(8)
+        model = hg(num_stacks=1, num_feats=16, num_classes=16, axis_name="data")
+        tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=True)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        ev = shard_eval_step(
+            make_eval_step(model, cfg.aug, MEAN, axis_name="data"), mesh
+        )
+        batch = next(iter(HostLoader(synth, 16, pad_hw=(256, 384))))
+        metrics, preds = ev(state, batch)
+        assert preds.shape == (16, 16, 2)
+        assert np.isfinite(float(metrics["loss"]))
