@@ -58,7 +58,7 @@ def run_bench(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256):
     rng = np.random.RandomState(0)
     pad = res + res // 4
     batch_data = {
-        "image": rng.rand(batch, pad, pad, 3).astype(np.float32),
+        "image": (rng.rand(batch, pad, pad, 3) * 255).astype(np.uint8),
         "valid_wh": np.tile(np.array([[pad, pad]], np.int32), (batch, 1)),
         "center": np.tile(
             np.array([[pad / 2 + 0.3, pad / 2 + 0.2]], np.float32), (batch, 1)

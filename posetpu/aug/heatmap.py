@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def rasterize_gaussians(pts, visible, res, sigma=1.0):
+def rasterize_gaussians(pts, visible, res, sigma=1.0, backend="auto"):
     """Rasterize target heatmaps.
 
     Args:
@@ -28,12 +28,21 @@ def rasterize_gaussians(pts, visible, res, sigma=1.0):
       visible: (B, K) input visibility (>0 means labeled).
       res:     static (H, W) heatmap size.
       sigma:   Gaussian sigma (reference default 1).
+      backend: "xla" | "pallas" | "auto" (pallas on TPU, else xla).
 
     Returns:
       target:  (B, K, H, W) float32.
       vis_out: (B, K) float32 — input visibility AND window-overlaps-map
                (the reference's "out of bounds => mark invisible").
     """
+    if backend == "auto":
+        import jax
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from posetpu.aug.pallas_kernels import rasterize_gaussians_pallas
+
+        return rasterize_gaussians_pallas(pts, visible, res, sigma=sigma)
     H, W = res
     pts = jnp.asarray(pts, jnp.float32)
     px = pts[..., 0][..., None, None]  # (B, K, 1, 1)

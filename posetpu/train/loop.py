@@ -209,7 +209,10 @@ class Experiment:
     # ---- epoch loops ----
 
     def train_epoch(self, epoch, key):
-        meters = {}
+        # Metrics stay on device until the epoch ends: a float() per step
+        # would force a host sync and break the dispatch pipeline (the
+        # >=95% duty-cycle target depends on steps being enqueued ahead).
+        device_metrics = []
         t0 = time.time()
         seen = 0
         for i, batch in enumerate(self.loader):
@@ -218,9 +221,13 @@ class Experiment:
             key, sub = jax.random.split(key)
             self.state, metrics = self.train_step(self.state, batch, sub)
             seen += batch["image"].shape[0]
+            device_metrics.append(metrics)
+        jax.block_until_ready(device_metrics[-1] if device_metrics else None)
+        dt = time.time() - t0
+        meters = {}
+        for metrics in device_metrics:
             for k, v in metrics.items():
                 meters.setdefault(k, AverageMeter()).update(float(v))
-        dt = time.time() - t0
         out = {k: m.avg for k, m in meters.items()}
         out["images_per_sec"] = seen / dt if dt > 0 else 0.0
         return out, key

@@ -96,13 +96,12 @@ class TestHostLoader:
         assert len(batches) == 3
         b = batches[0]
         assert b["image"].shape == (4, 256, 384, 3)
-        assert b["image"].dtype == np.float32
+        assert b["image"].dtype == np.uint8  # device converts to f32 (cheap H2D)
         assert b["valid_wh"].shape == (4, 2)
         assert (b["valid_wh"] == [320, 240]).all()
         assert b["pts"].shape == (4, 16, 2)
-        assert 0.0 <= b["image"].min() and b["image"].max() <= 1.0
         # padding rows are zero
-        assert b["image"][:, 240:, :, :].max() == 0.0
+        assert b["image"][:, 240:, :, :].max() == 0
 
     def test_shuffle_reproducible_and_epoch_varies(self, synth_dir):
         path = os.path.join(synth_dir, "annotations.json")

@@ -1,0 +1,89 @@
+"""Measure TPU duty cycle of the real training pipeline (synthetic split,
+flagship-ish model): loader decode -> H2D -> fused aug+train step.
+
+Usage: python tools/duty_cycle.py [--stacks 8] [--batch 16] [--res 256]
+       [--steps 30] [--backend native|pil] [--trace DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stacks", type=int, default=8)
+    ap.add_argument("--feats", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--trace", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from posetpu.configs import named_config
+    from posetpu.data import HostLoader, MpiiDataset, make_synthetic_dataset
+    from posetpu.models import hg
+    from posetpu.train import TrainState, make_train_step
+    from posetpu.train.state import make_optimizer
+    from posetpu.utils.profiling import measure_duty_cycle, trace
+
+    root = "/tmp/posetpu_duty_synth"
+    json_path = os.path.join(root, "annotations.json")
+    if not os.path.exists(json_path):
+        make_synthetic_dataset(root, num_train=256, num_val=8, res=(512, 384))
+    ds = MpiiDataset(json_path, os.path.join(root, "images"), split="train")
+    loader = HostLoader(
+        ds, args.batch, pad_hw=(384, 512), backend=args.backend, prefetch=4
+    )
+
+    cfg = named_config("hg8_mpii")
+    cfg.aug.inp_res = (args.res, args.res)
+    cfg.aug.out_res = (args.res // 4, args.res // 4)
+    model = hg(
+        num_stacks=args.stacks, num_blocks=1, num_classes=16, num_feats=args.feats
+    )
+    tx = make_optimizer(cfg.optim, 1000)
+    v = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, args.res, args.res, 3)), train=True
+    )
+    state = TrainState(
+        params=v["params"],
+        batch_stats=v["batch_stats"],
+        opt_state=tx.init(v["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = jax.jit(make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43)))
+
+    key = jax.random.PRNGKey(0)
+    if args.trace:
+        with trace(args.trace):
+            duty, t_dev, t_wall = measure_duty_cycle(
+                step, state, loader, key, args.steps
+            )
+    else:
+        duty, t_dev, t_wall = measure_duty_cycle(
+            step, state, loader, key, args.steps
+        )
+    ips = args.batch / t_wall
+    print(
+        f"device_step={t_dev*1e3:.2f}ms wall_step={t_wall*1e3:.2f}ms "
+        f"duty_cycle={duty*100:.1f}% images/sec={ips:.1f} "
+        f"(backend={args.backend}, decode+H2D overlap "
+        f"{'OK' if duty >= 0.95 else 'LIMITED'})"
+    )
+
+
+if __name__ == "__main__":
+    main()
