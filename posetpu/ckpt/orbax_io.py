@@ -15,19 +15,16 @@ from __future__ import annotations
 import os
 import shutil
 
+import flax.serialization
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from posetpu.train.state import TrainState
 
-
-def _as_pytree(state: TrainState, epoch, best_acc):
+def _as_pytree(state, epoch, best_acc):
+    """Works for any flax.struct state (TrainState, JointState, ...)."""
     return {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "step": np.asarray(state.step),
+        "state": flax.serialization.to_state_dict(state),
         "epoch": np.asarray(epoch, np.int32),
         "best_acc": np.asarray(best_acc, np.float32),
     }
@@ -77,8 +74,9 @@ class CheckpointManager:
             return None
         return os.path.join(root, sorted(os.listdir(root))[-1])
 
-    def restore(self, template_state: TrainState, path=None):
-        """Restore into the shapes/dtypes of ``template_state``.  Returns
+    def restore(self, template_state, path=None):
+        """Restore into the shapes/dtypes of ``template_state`` (any flax
+        struct — pose TrainState or joint pose+agent state).  Returns
         (state, epoch, best_acc); mirrors the reference resume path
         (SURVEY.md §3.4)."""
         path = path or self.latest_path()
@@ -88,10 +86,5 @@ class CheckpointManager:
         tree = self._ckpt.restore(
             path, jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         )
-        state = TrainState(
-            params=tree["params"],
-            batch_stats=tree["batch_stats"],
-            opt_state=tree["opt_state"],
-            step=jax.numpy.asarray(tree["step"]),
-        )
+        state = flax.serialization.from_state_dict(template_state, tree["state"])
         return state, int(tree["epoch"]), float(tree["best_acc"])

@@ -1,0 +1,207 @@
+"""System-level integration tests: the adversarial agent genuinely learns
+to prefer harder augmentation bins (SURVEY.md §2 C7 semantics), the five
+named configs build, and config 5 (384², DP-8, agent) runs end-to-end on
+the virtual mesh."""
+
+import os
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posetpu.configs import NAMED_CONFIGS, named_config
+from posetpu.data import HostLoader, MpiiDataset, make_synthetic_dataset
+from posetpu.models import AugAgent, scale_bin_table
+from posetpu.train import JointState, TrainState, make_joint_step
+from posetpu.train.state import make_optimizer
+from posetpu.configs import OptimConfig
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth_integ")
+    make_synthetic_dataset(str(d), num_train=16, num_val=8, res=(320, 240))
+    return MpiiDataset(
+        os.path.join(d, "annotations.json"),
+        os.path.join(d, "images"),
+        split="train",
+    )
+
+
+class ZeroPose(nn.Module):
+    """Pose stub that always predicts zeros: per-sample loss equals the
+    target energy, which depends ONLY on the sampled augmentation — a
+    controlled reward landscape for testing the REINFORCE direction."""
+
+    classes: int = 16
+    out_hw: int = 16
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        w = self.param("w", nn.initializers.zeros, (1,))
+        bs = self.variable("batch_stats", "n", lambda: jnp.zeros(()))
+        del bs
+        B = x.shape[0]
+        out = jnp.zeros((B, self.out_hw, self.out_hw, self.classes)) + 0.0 * w[0]
+        return [out]
+
+
+class TestAgentLearnsHardBins:
+    def test_mass_shifts_to_hardest_scale_bin(self, synth):
+        cfg = named_config("hg2_mpii_mini")
+        cfg.aug.inp_res = (64, 64)
+        cfg.aug.out_res = (16, 16)
+        cfg.aug.color_jitter = False
+        cfg.aug.flip_prob = 0.0
+
+        pose = ZeroPose()
+        agent = AugAgent(
+            num_scale_bins=3, num_rot_bins=3, widths=(8,), axis_name=None
+        )
+        # zoom-in bins: x0.35 clips most joints off the heatmap (low target
+        # energy => easy for the zero-model), x1 keeps them all (hard)
+        scale_table = scale_bin_table(3, -1.5, 0.0)
+        rot_table = np.zeros(3, np.float32)
+
+        pose_tx = make_optimizer(OptimConfig(lr=0.0), 10)  # frozen pose
+        agent_tx = make_optimizer(OptimConfig(lr=3e-3), 10)
+        x = jnp.zeros((1, 64, 64, 3))
+        pv = pose.init(jax.random.PRNGKey(0), x, train=True)
+        av = agent.init(jax.random.PRNGKey(1), x, train=True)
+        state = JointState(
+            pose=TrainState(
+                params=pv["params"],
+                batch_stats=pv["batch_stats"],
+                opt_state=pose_tx.init(pv["params"]),
+                step=jnp.zeros((), jnp.int32),
+            ),
+            agent=TrainState(
+                params=av["params"],
+                batch_stats=av["batch_stats"],
+                opt_state=agent_tx.init(av["params"]),
+                step=jnp.zeros((), jnp.int32),
+            ),
+            step=jnp.zeros((), jnp.int32),
+        )
+        step = jax.jit(
+            make_joint_step(
+                pose,
+                agent,
+                pose_tx,
+                agent_tx,
+                cfg.aug,
+                (0.2, 0.2, 0.2),
+                scale_table=scale_table,
+                rot_table=rot_table,
+                baseline="sign",
+            )
+        )
+        batch = next(iter(HostLoader(synth, 16, pad_hw=(256, 384), seed=0)))
+
+        # Ground truth: which scale bin actually yields the highest loss for
+        # the zero-model?  Compute target energy per forced bin.
+        from posetpu.aug import AugParams, augment_batch
+
+        energies = []
+        for b in range(3):
+            aug = augment_batch(
+                jnp.asarray(batch["image"]),
+                jnp.asarray(batch["valid_wh"]),
+                jnp.asarray(batch["center"]),
+                jnp.asarray(batch["scale"]),
+                jnp.asarray(batch["pts"]),
+                jnp.asarray(batch["vis"]),
+                AugParams(
+                    scale_factor=jnp.full((16,), float(scale_table[b])),
+                    rot=jnp.zeros((16,)),
+                    flip=jnp.zeros((16,), bool),
+                ),
+                inp_res=(64, 64),
+                out_res=(16, 16),
+            )
+            energies.append(float(jnp.mean(aug["target"] ** 2)))
+        hardest = int(np.argmax(energies))
+        assert max(energies) > 1.02 * sorted(energies)[-2], energies
+
+        key = jax.random.PRNGKey(0)
+        for _ in range(60):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+
+        # evaluate the learned policy on the actual neutral crops
+        from posetpu.aug import neutral_params
+
+        aug_n = augment_batch(
+            jnp.asarray(batch["image"]),
+            jnp.asarray(batch["valid_wh"]),
+            jnp.asarray(batch["center"]),
+            jnp.asarray(batch["scale"]),
+            jnp.asarray(batch["pts"]),
+            jnp.asarray(batch["vis"]),
+            neutral_params(16),
+            inp_res=(64, 64),
+            out_res=(16, 16),
+            mean=(0.2, 0.2, 0.2),
+        )
+        logits = agent.apply(
+            {
+                "params": state.agent.params,
+                "batch_stats": state.agent.batch_stats,
+            },
+            aug_n["input"],
+            train=False,
+        )
+        probs = np.asarray(jax.nn.softmax(logits["scale"], axis=-1)).mean(0)
+        assert probs[hardest] > 1.0 / 3 + 0.1, (probs, hardest, energies)
+
+
+class TestNamedConfigs:
+    def test_all_configs_instantiate(self):
+        for name in NAMED_CONFIGS:
+            cfg = named_config(name)
+            assert cfg.name == name
+            assert cfg.model.stacks >= 1
+
+    def test_config5_dp8_end_to_end(self, synth, tmp_path):
+        """Config 5 shape (384² + agent + 8-device DP), scaled tiny."""
+        from posetpu.train.loop import Experiment
+
+        cfg = named_config("hg8_mpii_384_dp8")
+        cfg.model.stacks = 1
+        cfg.model.feats = 8
+        cfg.aug.inp_res = (64, 64)
+        cfg.aug.out_res = (16, 16)
+        cfg.batch_size = 16
+        cfg.num_devices = 8
+        cfg.synthetic = False
+        cfg.annotations = synth.samples[0].img_path.rsplit("/images", 1)[0] + "/annotations.json"
+        cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+        cfg.pad_hw = (256, 384)
+        cfg.optim.epochs = 1
+        cfg.steps_per_epoch = 1
+        cfg.checkpoint_dir = str(tmp_path)
+        exp = Experiment(cfg)
+        assert exp.dp and exp.mesh is not None
+        state, best = exp.fit(progress=lambda *_: None)
+        assert np.isfinite(best)
+        # joint state (agent enabled in config 5)
+        assert hasattr(state, "agent")
+
+
+class TestGrainLoader:
+    def test_same_contract_as_hostloader(self, synth):
+        from posetpu.data.grain_pipeline import GrainLoader
+
+        gl = GrainLoader(synth, 4, pad_hw=(256, 384), shuffle=False)
+        hl = HostLoader(
+            synth, 4, pad_hw=(256, 384), shuffle=False, backend="pil"
+        )
+        bg = next(iter(gl))
+        bh = next(iter(hl))
+        assert set(bg) == set(bh)
+        for k in bh:
+            assert bg[k].shape == bh[k].shape, k
+            assert bg[k].dtype == bh[k].dtype, k
+        np.testing.assert_array_equal(bg["image"], bh["image"])
