@@ -150,3 +150,25 @@ class TestAgent:
             np.log(0.9),
             atol=1e-3,
         )
+
+
+class TestScanStacks:
+    def test_scan_matches_interface_and_learns_shape(self):
+        m = hg(num_stacks=3, num_feats=16, num_classes=8, scan_stacks=True)
+        x = jnp.zeros((2, 64, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), x, train=True)
+        outs, st = m.apply(v, x, train=True, mutable=["batch_stats"])
+        assert len(outs) == 3
+        for o in outs:
+            assert o.shape == (2, 16, 16, 8)
+            assert o.dtype == jnp.float32
+        # stacked params carry the leading num_stacks axis
+        leaf = jax.tree.leaves(v["params"]["stacks"])[0]
+        assert leaf.shape[0] == 3
+
+    def test_scan_eval_mode(self):
+        m = hg(num_stacks=2, num_feats=16, num_classes=4, scan_stacks=True)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), x, train=True)
+        outs = m.apply(v, x, train=False)
+        assert len(outs) == 2 and outs[0].shape == (1, 16, 16, 4)
