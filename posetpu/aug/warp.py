@@ -6,8 +6,10 @@ device").
 
 This is the fused-XLA formulation: four clamped gathers + a lerp, vectorized
 over (B, H_out, W_out, C).  It matches :func:`posetpu.oracles.transforms.crop`
-bit-for-bit on the same float math.  A Pallas VMEM-tiled variant lives in
-:mod:`posetpu.aug.warp_pallas` for the hot path.
+bit-for-bit on the same float math.  The warp deliberately stays on XLA's
+native gather rather than Pallas — Mosaic has no vector gather primitive and
+the warp is a small fraction of the step; see docs/design.md §3 and
+:mod:`posetpu.aug.pallas_kernels` (which hosts the Pallas rasterizer).
 """
 
 from __future__ import annotations

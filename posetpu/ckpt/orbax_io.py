@@ -47,38 +47,54 @@ class CheckpointManager:
     def best_path(self):
         return os.path.join(self.directory, "best")
 
-    def save(self, state: TrainState, epoch, best_acc, is_best=False):
+    def save(self, state, epoch, best_acc, is_best=False):
+        """Async by default (SURVEY.md §5.3: orbax async checkpointing):
+        the write overlaps the next epoch's training; we only block on the
+        PREVIOUS in-flight save, and on the current one when it must be
+        copied to best/."""
+        self._ckpt.wait_until_finished()  # previous epoch's async write
         path = self._path(epoch)
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckpt.save(path, _as_pytree(state, epoch, best_acc))
-        self._ckpt.wait_until_finished()
         if is_best:
+            self._ckpt.wait_until_finished()
             if os.path.exists(self.best_path):
                 shutil.rmtree(self.best_path)
             shutil.copytree(path, self.best_path)
-        self._gc()
+        self._gc(keep=os.path.basename(path))
         return path
 
-    def _gc(self):
+    def wait(self):
+        """Block until any in-flight async save has committed."""
+        self._ckpt.wait_until_finished()
+
+    def _finished(self, root):
+        return sorted(
+            n for n in os.listdir(root) if "orbax-checkpoint-tmp" not in n
+        )
+
+    def _gc(self, keep=None):
         root = os.path.join(self.directory, "ckpt")
         if not os.path.isdir(root):
             return
-        kept = sorted(os.listdir(root))
-        for name in kept[: -self.max_to_keep]:
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        for name in self._finished(root)[: -self.max_to_keep]:
+            if name != keep:  # never delete an in-flight write
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
     def latest_path(self):
         root = os.path.join(self.directory, "ckpt")
-        if not os.path.isdir(root) or not os.listdir(root):
+        if not os.path.isdir(root):
             return None
-        return os.path.join(root, sorted(os.listdir(root))[-1])
+        done = self._finished(root)
+        return os.path.join(root, done[-1]) if done else None
 
     def restore(self, template_state, path=None):
         """Restore into the shapes/dtypes of ``template_state`` (any flax
         struct — pose TrainState or joint pose+agent state).  Returns
         (state, epoch, best_acc); mirrors the reference resume path
         (SURVEY.md §3.4)."""
+        self._ckpt.wait_until_finished()  # drain any in-flight save
         path = path or self.latest_path()
         if path is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")

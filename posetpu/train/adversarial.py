@@ -76,6 +76,206 @@ def apply_occlusion(images, node_idx, boxes):
     return jnp.where(inside[..., None], 0.0, images)
 
 
+def make_joint_step_split(
+    pose_model,
+    agent_model,
+    pose_tx,
+    agent_tx,
+    aug_cfg,
+    mean,
+    std=None,
+    *,
+    scale_table,
+    rot_table,
+    occ_boxes=None,
+    baseline="batch_mean",
+):
+    """Split-program variant of :func:`make_joint_step` for single-chip use.
+
+    Motivation (measured, BASELINE.md): XLA:TPU compiles the monolithic
+    8-stack joint program poorly (575 s compile, ~30x the expected step
+    time), while each constituent program is fast.  This variant runs the
+    same math as four small jits — intermediates never leave the device, so
+    the only extra cost is ~4 dispatch round-trips:
+
+      A: neutral crop -> agent logits -> bin sampling -> adversarial +
+         reference augmented batches
+      B: pose fwd/bwd + RMSprop update on the adversarial batch
+      C: reference forward (no grad) -> per-sample baseline losses
+      D: agent REINFORCE update from the advantage
+
+    Not shard_map-compatible (the epoch driver handles DP via the fused
+    variant); returns a callable (state, batch, key) -> (state, metrics).
+    """
+    scale_table_j = jnp.asarray(scale_table, jnp.float32)
+    rot_table_j = jnp.asarray(rot_table, jnp.float32)
+
+    @jax.jit
+    def stage_a(agent_state: TrainState, batch, key):
+        k_s, k_r, k_o, k_flip, k_jit, k_ref = jax.random.split(key, 6)
+        B = batch["image"].shape[0]
+        aug_n = _augment(batch, neutral_params(B), aug_cfg, mean, std, None)
+        logits = agent_model.apply(
+            {
+                "params": agent_state.params,
+                "batch_stats": agent_state.batch_stats,
+            },
+            aug_n["input"],
+            train=False,
+        )
+        si, logp_s = sample_bins(k_s, logits["scale"])
+        ri, logp_r = sample_bins(k_r, logits["rot"])
+        idx = {"si": si, "ri": ri}
+        if occ_boxes is not None:
+            oi, _ = sample_bins(k_o, logits["occ"])
+            idx["oi"] = oi
+        flip = jax.random.uniform(k_flip, (B,)) < aug_cfg.flip_prob
+        adv_params = AugParams(
+            scale_factor=scale_table_j[si], rot=rot_table_j[ri], flip=flip
+        )
+        aug_a = _augment(
+            batch,
+            adv_params,
+            aug_cfg,
+            mean,
+            std,
+            k_jit if aug_cfg.color_jitter else None,
+        )
+        inp_a = aug_a["input"]
+        if occ_boxes is not None:
+            inp_a = apply_occlusion(inp_a, idx["oi"], occ_boxes)
+        ref_params = sample_aug_params(
+            k_ref,
+            B,
+            scale_factor=aug_cfg.scale_factor,
+            rot_factor=aug_cfg.rot_factor,
+            rot_prob=aug_cfg.rot_prob,
+            flip_prob=aug_cfg.flip_prob,
+            scale_mode=aug_cfg.scale_mode,
+        )
+        aug_r = _augment(batch, ref_params, aug_cfg, mean, std, None)
+        return {
+            "neutral_inp": aug_n["input"],
+            "inp_a": inp_a,
+            "tgt_a": aug_a["target"],
+            "inp_r": aug_r["input"],
+            "tgt_r": aug_r["target"],
+            "idx": idx,
+        }
+
+    @jax.jit
+    def stage_b(pose_state: TrainState, inp_a, tgt_a):
+        target = tgt_a.transpose(0, 2, 3, 1)
+
+        def loss_fn(p):
+            outs, mut = pose_model.apply(
+                {"params": p, "batch_stats": pose_state.batch_stats},
+                inp_a,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            l_sample = per_sample_stacked_mse(outs, target)
+            return jnp.mean(l_sample), (l_sample, mut["batch_stats"], outs[-1])
+
+        (loss, (l_adv, new_bs, last)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(pose_state.params)
+        updates, new_opt = pose_tx.update(
+            grads, pose_state.opt_state, pose_state.params
+        )
+        new_params = optax.apply_updates(pose_state.params, updates)
+        acc = accuracy(last.astype(jnp.float32).transpose(0, 3, 1, 2), tgt_a)[0]
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=pose_state.step + 1,
+        )
+        return new_state, loss, l_adv, acc
+
+    @jax.jit
+    def stage_c(pose_state: TrainState, inp_r, tgt_r):
+        outs = pose_model.apply(
+            {
+                "params": pose_state.params,
+                "batch_stats": pose_state.batch_stats,
+            },
+            inp_r,
+            train=False,
+        )
+        return per_sample_stacked_mse(outs, tgt_r.transpose(0, 2, 3, 1))
+
+    @jax.jit
+    def stage_d(agent_state: TrainState, neutral_inp, idx, advantage):
+        adv = jax.lax.stop_gradient(advantage)
+        if baseline == "batch_mean":
+            adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-6)
+        elif baseline == "sign":
+            adv = jnp.sign(adv)
+
+        def objective(p):
+            logits, mut = agent_model.apply(
+                {"params": p, "batch_stats": agent_state.batch_stats},
+                neutral_inp,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            logp = jnp.take_along_axis(
+                jax.nn.log_softmax(logits["scale"]), idx["si"][:, None], axis=1
+            )[:, 0]
+            logp = logp + jnp.take_along_axis(
+                jax.nn.log_softmax(logits["rot"]), idx["ri"][:, None], axis=1
+            )[:, 0]
+            if "oi" in idx:
+                logp = logp + jnp.take_along_axis(
+                    jax.nn.log_softmax(logits["occ"]), idx["oi"][:, None], axis=1
+                )[:, 0]
+            ent = -jnp.mean(
+                jax.nn.softmax(logits["scale"])
+                * jax.nn.log_softmax(logits["scale"])
+            )
+            return -jnp.mean(adv * logp), (mut["batch_stats"], ent)
+
+        (agent_loss, (new_bs, ent)), grads = jax.value_and_grad(
+            objective, has_aux=True
+        )(agent_state.params)
+        updates, new_opt = agent_tx.update(
+            grads, agent_state.opt_state, agent_state.params
+        )
+        new_params = optax.apply_updates(agent_state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=agent_state.step + 1,
+        )
+        return new_state, agent_loss, ent
+
+    def joint_step(state: JointState, batch, key):
+        key = jax.random.fold_in(key, state.step)
+        staged = stage_a(state.agent, batch, key)
+        new_pose, loss, l_adv, acc = stage_b(
+            state.pose, staged["inp_a"], staged["tgt_a"]
+        )
+        l_ref = stage_c(state.pose, staged["inp_r"], staged["tgt_r"])
+        new_agent, agent_loss, ent = stage_d(
+            state.agent, staged["neutral_inp"], staged["idx"], l_adv - l_ref
+        )
+        new_state = JointState(
+            pose=new_pose, agent=new_agent, step=state.step + 1
+        )
+        metrics = {
+            "loss": loss,
+            "acc": acc,
+            "agent_loss": agent_loss,
+            "advantage": jnp.mean(l_adv - l_ref),
+            "entropy": ent,
+        }
+        return new_state, metrics
+
+    return joint_step
+
+
 def make_joint_step(
     pose_model,
     agent_model,

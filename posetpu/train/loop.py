@@ -27,7 +27,11 @@ from posetpu.models import (
     scale_bin_table,
 )
 from posetpu.parallel import make_mesh, shard_eval_step, shard_train_step
-from posetpu.train.adversarial import JointState, make_joint_step
+from posetpu.train.adversarial import (
+    JointState,
+    make_joint_step,
+    make_joint_step_split,
+)
 from posetpu.train.state import TrainState, make_optimizer
 from posetpu.train.step import make_eval_step, make_train_step
 from posetpu.utils.logger import AverageMeter, Logger
@@ -137,20 +141,38 @@ class Experiment:
             self.state = JointState(
                 pose=pose_state, agent=agent_state, step=jnp.zeros((), jnp.int32)
             )
-            raw_step = make_joint_step(
-                self.model,
-                self.agent_model,
-                self.tx,
-                self.agent_tx,
-                cfg.aug,
-                self.mean,
-                self.std,
+            joint_kw = dict(
                 scale_table=self.scale_table,
                 rot_table=self.rot_table,
                 occ_boxes=self.occ_boxes,
-                axis_name=self.axis,
                 baseline=cfg.agent.reward_baseline,
             )
+            if self.dp:
+                raw_step = make_joint_step(
+                    self.model,
+                    self.agent_model,
+                    self.tx,
+                    self.agent_tx,
+                    cfg.aug,
+                    self.mean,
+                    self.std,
+                    axis_name=self.axis,
+                    **joint_kw,
+                )
+            else:
+                # single chip: the split variant — XLA compiles the
+                # monolithic 8-stack joint program pathologically (see
+                # make_joint_step_split docstring / BASELINE.md)
+                raw_step = make_joint_step_split(
+                    self.model,
+                    self.agent_model,
+                    self.tx,
+                    self.agent_tx,
+                    cfg.aug,
+                    self.mean,
+                    self.std,
+                    **joint_kw,
+                )
         else:
             self.state = pose_state
             raw_step = make_train_step(
@@ -167,6 +189,11 @@ class Experiment:
         if self.dp:
             self.train_step = shard_train_step(raw_step, self.mesh)
             self.eval_step = shard_eval_step(self._eval_on_pose(raw_eval), self.mesh)
+        elif cfg.agent.enabled:
+            # split joint step is internally jitted stage-by-stage; an outer
+            # jit would re-fuse it into the pathological monolith
+            self.train_step = raw_step
+            self.eval_step = jax.jit(self._eval_on_pose(raw_eval))
         else:
             self.train_step = jax.jit(raw_step, donate_argnums=(0,))
             self.eval_step = jax.jit(self._eval_on_pose(raw_eval))
@@ -284,4 +311,7 @@ class Experiment:
                 f"| {tr['images_per_sec']:.1f} img/s"
                 + (f" | agent {tr.get('agent_loss', 0):+.4f}" if "agent_loss" in tr else "")
             )
+        # saves are async — commit the final checkpoint before returning
+        # (otherwise interpreter shutdown can strand the last epoch's write)
+        self.ckpt.wait()
         return self.state, self.best_acc

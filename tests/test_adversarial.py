@@ -166,3 +166,56 @@ class TestRewardSign:
             p = jax.tree.map(lambda a, b: a - 0.1 * b, p, g)
         probs = np.asarray(jax.nn.softmax(p["w"]))[0]
         assert probs[2] > 0.6, probs
+
+
+class TestSplitJointStep:
+    def test_split_matches_semantics(self, synth):
+        """Split-program joint step runs and updates both nets (single-chip
+        path of the epoch driver)."""
+        from posetpu.train.adversarial import make_joint_step_split
+        from posetpu.models import rotation_bin_table, scale_bin_table
+
+        cfg = _tiny_cfg()
+        model = hg(num_stacks=1, num_feats=16, num_classes=16)
+        boxes = occlusion_hierarchy((64, 64), (1, 2))
+        agent = AugAgent(
+            num_scale_bins=5, num_rot_bins=5, num_occ_nodes=len(boxes),
+            widths=(8, 16),
+        )
+        tx = make_optimizer(cfg.optim, 10)
+        atx = make_optimizer(cfg.optim, 10)
+        x = jnp.zeros((1, 64, 64, 3))
+        pv = model.init(jax.random.PRNGKey(0), x, train=True)
+        av = agent.init(jax.random.PRNGKey(1), x, train=True)
+        state = JointState(
+            pose=TrainState(
+                params=pv["params"], batch_stats=pv["batch_stats"],
+                opt_state=tx.init(pv["params"]), step=jnp.zeros((), jnp.int32),
+            ),
+            agent=TrainState(
+                params=av["params"], batch_stats=av["batch_stats"],
+                opt_state=atx.init(av["params"]), step=jnp.zeros((), jnp.int32),
+            ),
+            step=jnp.zeros((), jnp.int32),
+        )
+        step = make_joint_step_split(
+            model, agent, tx, atx, cfg.aug, (0.2, 0.2, 0.2),
+            scale_table=scale_bin_table(5), rot_table=rotation_bin_table(5),
+            occ_boxes=boxes,
+        )
+        batch = next(iter(HostLoader(synth, 8, pad_hw=(256, 384))))
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        for k in ("loss", "acc", "agent_loss", "advantage", "entropy"):
+            assert np.isfinite(float(metrics[k])), k
+        d_pose = max(
+            jax.tree.leaves(jax.tree.map(
+                lambda a, b: float(jnp.abs(a - b).max()),
+                state.pose.params, new_state.pose.params))
+        )
+        d_agent = max(
+            jax.tree.leaves(jax.tree.map(
+                lambda a, b: float(jnp.abs(a - b).max()),
+                state.agent.params, new_state.agent.params))
+        )
+        assert d_pose > 0 and d_agent > 0
+        assert int(new_state.step) == 1

@@ -56,6 +56,8 @@ class TestOrbaxRoundTrip:
         mgr.save(state, 1, 0.1)
         mgr.save(state, 2, 0.2, is_best=True)
         mgr.save(state, 3, 0.2)
+        mgr.wait()  # saves are async; settle before inspecting the dir
+        mgr._gc()
         kept = sorted(os.listdir(os.path.join(tmp_path, "ckpt")))
         assert kept == ["00002", "00003"]
         assert os.path.isdir(mgr.best_path)
