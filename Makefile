@@ -1,0 +1,32 @@
+# posetpu build/test/bench entry points
+# (the C++ decode pool also builds lazily on first import; this Makefile
+# exists for explicit builds and CI-style runs)
+
+CXX ?= g++
+CXXFLAGS ?= -O3 -shared -fPIC -std=c++17
+NATIVE_SRC := posetpu/native/decode_pool.cpp
+NATIVE_LIB := posetpu/native/libposetpu_decode.so
+
+.PHONY: all native test bench quickbench install clean
+
+all: native
+
+native: $(NATIVE_LIB)
+
+$(NATIVE_LIB): $(NATIVE_SRC)
+	$(CXX) $(CXXFLAGS) $< -ljpeg -lpthread -o $@
+
+install:
+	pip install -e . --no-build-isolation --no-deps
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+quickbench:
+	python bench.py --quick
+
+clean:
+	rm -f $(NATIVE_LIB)

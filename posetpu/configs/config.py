@@ -78,6 +78,9 @@ class ExperimentConfig:
     # run
     checkpoint_dir: str = "checkpoints"  # reference --checkpoint
     resume: str = ""  # reference --resume
+    # phase-2 flow (SURVEY.md §3.2): initialize the pose net from a
+    # phase-1 baseline checkpoint before joint adversarial training
+    init_pose_from: str = ""
     seed: int = 0
     num_devices: Optional[int] = None  # None = all visible
     synthetic: bool = False  # build a synthetic mini-split on the fly
@@ -156,6 +159,7 @@ _FLAGS = {
     "--train-batch": ("batch_size", int),
     "--checkpoint": ("checkpoint_dir", str),
     "--resume": ("resume", str),
+    "--init-pose-from": ("init_pose_from", str),
     "--json": ("annotations", str),
     "--image-path": ("images_dir", str),
     "--seed": ("seed", int),

@@ -208,6 +208,8 @@ class Experiment:
         self.logger.set_names(Logger.DEFAULT_NAMES)
         self.start_epoch = 0
         self.best_acc = 0.0
+        if cfg.init_pose_from:
+            self._init_pose_from(cfg.init_pose_from)
         if cfg.resume:
             self._resume(cfg.resume)
 
@@ -224,11 +226,45 @@ class Experiment:
 
         return ev
 
+    def _replicate(self, tree):
+        """Restored arrays come back pinned to one device; under DP they
+        must be replicated over the mesh for shard_map."""
+        if self.dp:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(
+                tree, NamedSharding(self.mesh, PartitionSpec())
+            )
+        return tree
+
+    def _init_pose_from(self, path):
+        """Phase-2 flow (SURVEY.md §3.2): load a phase-1 baseline pose
+        checkpoint into the pose half of the (joint or plain) state; the
+        optimizer restarts fresh (the reference loads state_dict only)."""
+        from posetpu.train.adversarial import JointState
+
+        if isinstance(self.state, JointState):
+            template = self.state.pose
+        else:
+            template = self.state
+        src = CheckpointManager(path)
+        best = src.best_path
+        from_path = best if os.path.isdir(best) else src.latest_path()
+        loaded, _, _ = src.restore(template, from_path)
+        pose = template.replace(
+            params=loaded.params, batch_stats=loaded.batch_stats
+        )
+        if isinstance(self.state, JointState):
+            self.state = self._replicate(self.state.replace(pose=pose))
+        else:
+            self.state = self._replicate(pose)
+
     def _resume(self, path):
         path = None if path == "auto" else path
         self.state, last_epoch, self.best_acc = self.ckpt.restore(
             self.state, path
         )
+        self.state = self._replicate(self.state)
         # checkpoints record the last COMPLETED epoch; resume at the next one
         # (reference resume semantics, SURVEY.md §3.4)
         self.start_epoch = last_epoch + 1

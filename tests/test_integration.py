@@ -205,3 +205,46 @@ class TestGrainLoader:
             assert bg[k].shape == bh[k].shape, k
             assert bg[k].dtype == bh[k].dtype, k
         np.testing.assert_array_equal(bg["image"], bh["image"])
+
+
+class TestPhase2Flow:
+    def test_init_pose_from_checkpoint(self, synth, tmp_path):
+        """Reference phase-2: joint training starts from a phase-1 pose
+        checkpoint (SURVEY.md §3.2 'load pretrained pose net')."""
+        from posetpu.train.loop import Experiment
+
+        ann = synth.samples[0].img_path.rsplit("/images", 1)[0] + "/annotations.json"
+        imgs = os.path.dirname(synth.samples[0].img_path)
+
+        def base_cfg(name, agent_on):
+            cfg = named_config("hg2_mpii_mini")
+            cfg.name = name
+            cfg.model.stacks = 1
+            cfg.model.feats = 8
+            cfg.aug.inp_res = (64, 64)
+            cfg.aug.out_res = (16, 16)
+            cfg.batch_size = 8
+            cfg.synthetic = False
+            cfg.annotations = ann
+            cfg.images_dir = imgs
+            cfg.pad_hw = (256, 384)
+            cfg.optim.epochs = 1
+            cfg.steps_per_epoch = 1
+            cfg.checkpoint_dir = str(tmp_path)
+            cfg.agent.enabled = agent_on
+            return cfg
+
+        # phase 1: one epoch of baseline training -> checkpoint
+        exp1 = Experiment(base_cfg("p1", False))
+        exp1.fit(progress=lambda *_: None)
+        p1_dir = os.path.join(tmp_path, "p1")
+
+        # phase 2: joint training initialized from the phase-1 checkpoint
+        cfg2 = base_cfg("p2", True)
+        cfg2.init_pose_from = p1_dir
+        exp2 = Experiment(cfg2)
+        p1_leaf = np.asarray(jax.tree.leaves(exp1.state.params)[0])
+        p2_leaf = np.asarray(jax.tree.leaves(exp2.state.pose.params)[0])
+        np.testing.assert_array_equal(p1_leaf, p2_leaf)
+        state, best = exp2.fit(progress=lambda *_: None)
+        assert np.isfinite(best)
