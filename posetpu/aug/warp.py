@@ -67,15 +67,20 @@ def affine_warp(images, t, out_res, valid_wh=None):
         vw = jnp.full((B, 1, 1), W, jnp.int32)
         vh = jnp.full((B, 1, 1), H, jnp.int32)
 
-    flat = images.reshape(B, H * W, C)
+    # Flat row-gather formulation: a single (B*H*W, C) table indexed by
+    # b*H*W + y*W + x.  The batched take_along_axis form made XLA:TPU
+    # materialize transposed copies of the (B, H*W, C) operand in larger
+    # programs (profiled: dominant copy-start/copy-done pairs in the joint
+    # step); plain row gather keeps the operand in its natural layout.
+    flat = images.reshape(B * H * W, C)
+    boff = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
 
     def gather(yy, xx):
         valid = (yy >= 0) & (yy < vh) & (xx >= 0) & (xx < vw)
         yc = jnp.clip(yy, 0, H - 1)
         xc = jnp.clip(xx, 0, W - 1)
-        idx = (yc * W + xc).reshape(B, Ho * Wo)
-        vals = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
-        vals = vals.reshape(B, Ho, Wo, C)
+        idx = (boff + yc * W + xc).reshape(B * Ho * Wo)
+        vals = jnp.take(flat, idx, axis=0).reshape(B, Ho, Wo, C)
         return vals * valid[..., None]
 
     v00 = gather(y0, x0)
