@@ -137,10 +137,8 @@ def augment_batch(
       target_weight (B, K); tpts (B, K, 2) 1-indexed heatmap coords.
     """
     B, K = pts.shape[:2]
-    if images.dtype == jnp.uint8:
-        # loaders ship uint8 (4x cheaper H2D); convert on device, fused by
-        # XLA into the warp's gather consumers
-        images = images.astype(jnp.float32) * (1.0 / 255.0)
+    # uint8 images pass straight into the warp (gathered as uint8, scaled
+    # to [0,1] post-gather inside affine_warp — 4x smaller gather operand)
     w = valid_wh[:, 0].astype(jnp.float32)
 
     # --- flip: mirror center/pts + joint swap (reference fliplr/shufflelr) ---

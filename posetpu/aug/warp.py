@@ -72,6 +72,13 @@ def affine_warp(images, t, out_res, valid_wh=None):
     # materialize transposed copies of the (B, H*W, C) operand in larger
     # programs (profiled: dominant copy-start/copy-done pairs in the joint
     # step); plain row gather keeps the operand in its natural layout.
+    #
+    # uint8 sources are gathered AS uint8 (4x smaller operand — the copies
+    # above were the f32-converted source) and scaled to [0,1] after the
+    # gather; scaling commutes with the bilinear lerp, so this is exact.
+    post_scale = None
+    if images.dtype == jnp.uint8:
+        post_scale = jnp.float32(1.0 / 255.0)
     flat = images.reshape(B * H * W, C)
     boff = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
 
@@ -81,6 +88,9 @@ def affine_warp(images, t, out_res, valid_wh=None):
         xc = jnp.clip(xx, 0, W - 1)
         idx = (boff + yc * W + xc).reshape(B * Ho * Wo)
         vals = jnp.take(flat, idx, axis=0).reshape(B, Ho, Wo, C)
+        vals = vals.astype(jnp.float32)
+        if post_scale is not None:
+            vals = vals * post_scale
         return vals * valid[..., None]
 
     v00 = gather(y0, x0)
