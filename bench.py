@@ -97,6 +97,7 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--stacks", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--res", type=int, default=None, help="input resolution (384 for config 5)")
     args = ap.parse_args()
 
     if args.quick:
@@ -109,6 +110,8 @@ def main():
         kw["stacks"] = args.stacks
     if args.steps:
         kw["steps"] = args.steps
+    if args.res:
+        kw["res"] = args.res
 
     try:
         ips = run_bench(**kw)

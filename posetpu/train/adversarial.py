@@ -26,14 +26,12 @@ loss — the paper's minimax joint optimization.
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
 
-from posetpu.aug.pipeline import AugParams, augment_batch, neutral_params, sample_aug_params
+from posetpu.aug.pipeline import AugParams, neutral_params, sample_aug_params
 from posetpu.eval.decode import accuracy
 from posetpu.models.agent import sample_bins
 from posetpu.train.state import TrainState
