@@ -32,6 +32,13 @@ def build_parser():
     p.add_argument(
         "--cpu-devices", type=int, default=None, help="virtual CPU device count"
     )
+    p.add_argument(
+        "--profile",
+        action="store_true",
+        help="capture a jax profiler trace of the first training epoch "
+        "into <checkpoint>/<name>/trace (view with tools/profile_step.py "
+        "--parse-only)",
+    )
     add_overrides(p)
     return p
 
@@ -53,6 +60,16 @@ def main(argv=None):
     print(f"[posetpu] config={cfg.name} devices={jax.local_device_count()} "
           f"({jax.devices()[0].platform})")
     exp = Experiment(cfg)
+    if args.profile:
+        import os
+
+        from posetpu.utils.profiling import trace
+
+        tdir = os.path.join(cfg.checkpoint_dir, cfg.name, "trace")
+        with trace(tdir):
+            key = jax.random.PRNGKey(cfg.seed + 4321)
+            exp.train_epoch(0, key)
+        print(f"[posetpu] profiler trace written to {tdir}")
     state, best = exp.fit()
     print(f"[posetpu] done; best val acc {best:.4f}")
     return 0
