@@ -116,8 +116,13 @@ def augment_batch(
     std=None,
     dataset="mpii",
     jitter_key=None,
+    src_index=None,
 ):
     """Fully-fused device augmentation of one batch.
+
+    ``src_index`` (N,) maps each output crop to a source image so several
+    differently-parameterized crops of the same batch warp in ONE gather
+    pass (metadata args must then be length N; see affine_warp).
 
     Args:
       images:   (B, Hp, Wp, 3) decoded images, zero-padded to a static shape,
@@ -159,7 +164,9 @@ def augment_batch(
     t_img = make_transform(center_f, s_aug, inp_res, rot)
     mirror = _mirror_matrix(w, (B,))
     t_eff = jnp.where(flip[:, None, None], compose_affine(t_img, mirror), t_img)
-    inp = affine_warp(images, t_eff, inp_res, valid_wh=valid_wh)
+    inp = affine_warp(
+        images, t_eff, inp_res, valid_wh=valid_wh, src_index=src_index
+    )
 
     if jitter_key is not None:
         inp = color_jitter(inp, jitter_key)

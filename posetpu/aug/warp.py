@@ -19,26 +19,31 @@ import jax.numpy as jnp
 from posetpu.aug.affine import invert_affine
 
 
-def affine_warp(images, t, out_res, valid_wh=None):
-    """Warp ``images`` (B, H, W, C) by per-sample affines ``t`` (B, 3, 3)
+def affine_warp(images, t, out_res, valid_wh=None, src_index=None):
+    """Warp ``images`` (B, H, W, C) by per-sample affines ``t`` (N, 3, 3)
     mapping source->output; sampling happens through the inverse.
 
     Args:
-      images:   (B, H, W, C) float.
-      t:        (B, 3, 3) forward affine (source px -> output px, 0-indexed).
+      images:   (B, H, W, C) float or uint8.
+      t:        (N, 3, 3) forward affine (source px -> output px, 0-indexed).
       out_res:  static (H_out, W_out).
-      valid_wh: optional (B, 2) ints (w, h) marking the un-padded region of
-                each image; samples outside it read as zero.  This lets one
-                batch hold images of different true sizes padded to a common
-                static shape (XLA needs static shapes; the reference handled
-                ragged sizes per-sample on the host).
+      valid_wh: optional (N, 2) ints (w, h) marking the un-padded region of
+                each output's SOURCE image; samples outside it read as zero.
+                This lets one batch hold images of different true sizes
+                padded to a common static shape (XLA needs static shapes;
+                the reference handled ragged sizes per-sample on the host).
+      src_index: optional (N,) int mapping each output sample to a source
+                image index — N may exceed B, so several differently-warped
+                crops (e.g. the joint step's neutral/adversarial/reference
+                triple) read the source batch in ONE gather pass.
 
-    Returns (B, H_out, W_out, C) float32 with zero border.
+    Returns (N, H_out, W_out, C) float32 with zero border.
     """
     images = jnp.asarray(images)
     B, H, W, C = images.shape
     Ho, Wo = out_res
     tinv = invert_affine(jnp.asarray(t, jnp.float32))
+    N = tinv.shape[0]
 
     xs = jnp.arange(Wo, dtype=jnp.float32)[None, None, :]  # (1, 1, Wo)
     ys = jnp.arange(Ho, dtype=jnp.float32)[None, :, None]  # (1, Ho, 1)
@@ -64,8 +69,8 @@ def affine_warp(images, t, out_res, valid_wh=None):
         vw = valid_wh[:, 0][:, None, None]
         vh = valid_wh[:, 1][:, None, None]
     else:
-        vw = jnp.full((B, 1, 1), W, jnp.int32)
-        vh = jnp.full((B, 1, 1), H, jnp.int32)
+        vw = jnp.full((N, 1, 1), W, jnp.int32)
+        vh = jnp.full((N, 1, 1), H, jnp.int32)
 
     # Flat row-gather formulation: a single (B*H*W, C) table indexed by
     # b*H*W + y*W + x.  The batched take_along_axis form made XLA:TPU
@@ -80,14 +85,18 @@ def affine_warp(images, t, out_res, valid_wh=None):
     if images.dtype == jnp.uint8:
         post_scale = jnp.float32(1.0 / 255.0)
     flat = images.reshape(B * H * W, C)
-    boff = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
+    if src_index is None:
+        src = jnp.arange(N, dtype=jnp.int32)
+    else:
+        src = jnp.asarray(src_index, jnp.int32)
+    boff = (src * (H * W))[:, None, None]
 
     def gather(yy, xx):
         valid = (yy >= 0) & (yy < vh) & (xx >= 0) & (xx < vw)
         yc = jnp.clip(yy, 0, H - 1)
         xc = jnp.clip(xx, 0, W - 1)
-        idx = (boff + yc * W + xc).reshape(B * Ho * Wo)
-        vals = jnp.take(flat, idx, axis=0).reshape(B, Ho, Wo, C)
+        idx = (boff + yc * W + xc).reshape(N * Ho * Wo)
+        vals = jnp.take(flat, idx, axis=0).reshape(N, Ho, Wo, C)
         vals = vals.astype(jnp.float32)
         if post_scale is not None:
             vals = vals * post_scale

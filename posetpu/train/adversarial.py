@@ -31,7 +31,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from posetpu.aug.pipeline import AugParams, neutral_params, sample_aug_params
+from posetpu.aug.pipeline import (
+    AugParams,
+    augment_batch,
+    neutral_params,
+    sample_aug_params,
+)
 from posetpu.eval.decode import accuracy
 from posetpu.models.agent import sample_bins
 from posetpu.train.state import TrainState
@@ -43,6 +48,42 @@ class JointState:
     pose: TrainState
     agent: TrainState
     step: jnp.ndarray
+
+
+def _tile2(x):
+    return jnp.concatenate([x, x], axis=0)
+
+
+def _augment_pair(batch, params_a, params_b, aug_cfg, mean, std, jitter_key):
+    """Warp the adversarial and reference crops of one batch in a single
+    fused pass (ONE gather over the source images via src_index — the
+    separate-pass form tripled the warp's operand traffic).  Returns the
+    combined aug dict with 2B leading entries: [:B]=a, [B:]=b."""
+    B = batch["image"].shape[0]
+    params = AugParams(
+        scale_factor=jnp.concatenate([params_a.scale_factor, params_b.scale_factor]),
+        rot=jnp.concatenate([params_a.rot, params_b.rot]),
+        flip=jnp.concatenate([params_a.flip, params_b.flip]),
+    )
+    return augment_batch(
+        batch["image"],
+        _tile2(batch["valid_wh"]),
+        _tile2(batch["center"]),
+        _tile2(batch["scale"]),
+        _tile2(batch["pts"]),
+        _tile2(batch["vis"]),
+        params,
+        inp_res=tuple(aug_cfg.inp_res),
+        out_res=tuple(aug_cfg.out_res),
+        sigma=aug_cfg.sigma,
+        mean=mean,
+        std=std,
+        dataset=aug_cfg.dataset,
+        jitter_key=jitter_key,
+        src_index=jnp.concatenate(
+            [jnp.arange(B, dtype=jnp.int32)] * 2
+        ),
+    )
 
 
 def per_sample_stacked_mse(outputs, target_nhwc):
@@ -131,17 +172,6 @@ def make_joint_step_split(
         adv_params = AugParams(
             scale_factor=scale_table_j[si], rot=rot_table_j[ri], flip=flip
         )
-        aug_a = _augment(
-            batch,
-            adv_params,
-            aug_cfg,
-            mean,
-            std,
-            k_jit if aug_cfg.color_jitter else None,
-        )
-        inp_a = aug_a["input"]
-        if occ_boxes is not None:
-            inp_a = apply_occlusion(inp_a, idx["oi"], occ_boxes)
         ref_params = sample_aug_params(
             k_ref,
             B,
@@ -151,13 +181,24 @@ def make_joint_step_split(
             flip_prob=aug_cfg.flip_prob,
             scale_mode=aug_cfg.scale_mode,
         )
-        aug_r = _augment(batch, ref_params, aug_cfg, mean, std, None)
+        aug2 = _augment_pair(
+            batch,
+            adv_params,
+            ref_params,
+            aug_cfg,
+            mean,
+            std,
+            k_jit if aug_cfg.color_jitter else None,
+        )
+        inp_a = aug2["input"][:B]
+        if occ_boxes is not None:
+            inp_a = apply_occlusion(inp_a, idx["oi"], occ_boxes)
         return {
             "neutral_inp": aug_n["input"],
             "inp_a": inp_a,
-            "tgt_a": aug_a["target"],
-            "inp_r": aug_r["input"],
-            "tgt_r": aug_r["target"],
+            "tgt_a": aug2["target"][:B],
+            "inp_r": aug2["input"][B:],
+            "tgt_r": aug2["target"][B:],
             "idx": idx,
         }
 
@@ -288,9 +329,16 @@ def make_joint_step(
     occ_boxes=None,
     axis_name=None,
     baseline="batch_mean",
+    ref_baseline=True,
 ):
     """Build the jitted joint minimax step (configs 3-5 of
-    BASELINE.json:10-12)."""
+    BASELINE.json:10-12).
+
+    ``ref_baseline=False`` drops the reference-augmentation forward pass
+    and rewards relative to the batch's own mean loss (standard REINFORCE
+    self-baseline) — cheaper (one model application instead of two) at the
+    cost of deviating from the paper's harder-than-reference comparison.
+    """
     scale_table = jnp.asarray(scale_table, jnp.float32)
     rot_table = jnp.asarray(rot_table, jnp.float32)
 
@@ -331,19 +379,43 @@ def make_joint_step(
             flip=flip,
         )
 
-        # --- 4-5. adversarial warp + rasterize on device ---
-        aug_a = _augment(
-            batch,
-            adv_params,
-            aug_cfg,
-            mean,
-            std,
-            k_jit if aug_cfg.color_jitter else None,
-        )
-        inp_a = aug_a["input"]
+        # --- 4-5. adversarial + reference warps fused into ONE pass ---
+        if ref_baseline:
+            ref_params = sample_aug_params(
+                k_ref,
+                B,
+                scale_factor=aug_cfg.scale_factor,
+                rot_factor=aug_cfg.rot_factor,
+                rot_prob=aug_cfg.rot_prob,
+                flip_prob=aug_cfg.flip_prob,
+                scale_mode=aug_cfg.scale_mode,
+            )
+            aug2 = _augment_pair(
+                batch,
+                adv_params,
+                ref_params,
+                aug_cfg,
+                mean,
+                std,
+                k_jit if aug_cfg.color_jitter else None,
+            )
+            inp_a = aug2["input"][:B]
+            target_a = aug2["target"][:B].transpose(0, 2, 3, 1)
+            inp_r = aug2["input"][B:]
+            tgt_r = aug2["target"][B:].transpose(0, 2, 3, 1)
+        else:
+            aug_a = _augment(
+                batch,
+                adv_params,
+                aug_cfg,
+                mean,
+                std,
+                k_jit if aug_cfg.color_jitter else None,
+            )
+            inp_a = aug_a["input"]
+            target_a = aug_a["target"].transpose(0, 2, 3, 1)
         if occ_boxes is not None:
             inp_a = apply_occlusion(inp_a, extras["oi"], occ_boxes)
-        target_a = aug_a["target"].transpose(0, 2, 3, 1)
 
         # --- 6. pose forward/backward on the adversarial batch ---
         def pose_loss_fn(pose_params):
@@ -360,25 +432,22 @@ def make_joint_step(
             jax.value_and_grad(pose_loss_fn, has_aux=True)(state.pose.params)
         )
 
-        # --- 7. reference augmentation forward (no grad): baseline ---
-        ref_params = sample_aug_params(
-            k_ref,
-            B,
-            scale_factor=aug_cfg.scale_factor,
-            rot_factor=aug_cfg.rot_factor,
-            rot_prob=aug_cfg.rot_prob,
-            flip_prob=aug_cfg.flip_prob,
-            scale_mode=aug_cfg.scale_mode,
-        )
-        aug_r = _augment(batch, ref_params, aug_cfg, mean, std, None)
-        outs_r = pose_model.apply(
-            {"params": state.pose.params, "batch_stats": state.pose.batch_stats},
-            aug_r["input"],
-            train=False,
-        )
-        l_ref = per_sample_stacked_mse(
-            outs_r, aug_r["target"].transpose(0, 2, 3, 1)
-        )
+        # --- 7. baseline for the reward ---
+        if ref_baseline:
+            # reference augmentation forward (no grad) — the paper's
+            # harder-than-reference comparison (crops computed in the fused
+            # pass above)
+            outs_r = pose_model.apply(
+                {
+                    "params": state.pose.params,
+                    "batch_stats": state.pose.batch_stats,
+                },
+                inp_r,
+                train=False,
+            )
+            l_ref = per_sample_stacked_mse(outs_r, tgt_r)
+        else:
+            l_ref = jnp.mean(l_adv) * jnp.ones_like(l_adv)  # self-baseline
 
         # --- reward: harder-than-reference bins get positive advantage ---
         adv = jax.lax.stop_gradient(l_adv - l_ref)  # (B,)
@@ -421,7 +490,8 @@ def make_joint_step(
         new_agent_params = optax.apply_updates(state.agent.params, a_updates)
 
         acc = accuracy(
-            last.astype(jnp.float32).transpose(0, 3, 1, 2), aug_a["target"]
+            last.astype(jnp.float32).transpose(0, 3, 1, 2),
+            target_a.transpose(0, 3, 1, 2),
         )[0]
         if axis_name is not None:
             acc = jax.lax.pmean(acc, axis_name)
