@@ -58,6 +58,12 @@ class AgentConfig:
     rot_bins: int = 7
     occ_nodes: int = 0  # >0 enables AHO head (1 + sum g^2 over levels)
     occ_levels: Sequence[int] = (1, 2, 4)
+    # Agent sees the crop avg-pooled by this factor.  2 is the default for a
+    # measured reason: a full-res agent stem (tiny-channel conv at 256²)
+    # makes XLA:TPU compile the joint program ~26x slower (BASELINE.md);
+    # at 128² the joint step runs at baseline-step speed, and global
+    # scale/rotation bins don't need pixel-level detail.
+    input_downscale: int = 2
     lr: float = 2.5e-4
     reward_baseline: str = "batch_mean"  # REINFORCE baseline
     update_every: int = 1  # agent update cadence vs pose updates

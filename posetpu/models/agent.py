@@ -65,6 +65,8 @@ class AugAgent(nn.Module):
     num_rot_bins: int = 7
     num_occ_nodes: int = 0  # 0 disables the AHO head
     widths: Sequence[int] = (32, 64, 128, 256)
+    input_downscale: int = 1  # avg-pool the crop before the stem (2 or 4:
+    # bin prediction needs coarse context, not pixels — cuts agent cost 4x/16x)
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
 
@@ -73,6 +75,9 @@ class AugAgent(nn.Module):
         """x: (B, H, W, 3) neutral crop. Returns dict of f32 logits:
         ``scale`` (B, S), ``rot`` (B, R), and ``occ`` (B, N) if enabled."""
         x = x.astype(self.dtype)
+        if self.input_downscale > 1:
+            k = (self.input_downscale, self.input_downscale)
+            x = nn.avg_pool(x, k, strides=k)
         for i, w in enumerate(self.widths):
             x = nn.Conv(
                 w,

@@ -124,6 +124,7 @@ class Experiment:
                 num_scale_bins=cfg.agent.scale_bins,
                 num_rot_bins=cfg.agent.rot_bins,
                 num_occ_nodes=(len(self.occ_boxes) if self.occ_boxes is not None else 0),
+                input_downscale=cfg.agent.input_downscale,
                 axis_name=self.axis,
             )
             avars = self.agent_model.init(
