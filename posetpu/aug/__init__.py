@@ -8,13 +8,15 @@ from posetpu.aug.affine import (
 )
 from posetpu.aug.warp import affine_warp
 from posetpu.aug.heatmap import rasterize_gaussians
-from posetpu.aug.color import color_jitter, color_normalize
+from posetpu.aug.color import color_jitter, color_jitter_ps, color_normalize
 from posetpu.aug.pipeline import (
     AugParams,
     augment_batch,
     flip_permutation,
     neutral_params,
+    per_sample_keys,
     sample_aug_params,
+    sample_aug_params_ps,
 )
 
 __all__ = [
@@ -25,10 +27,13 @@ __all__ = [
     "affine_warp",
     "rasterize_gaussians",
     "color_jitter",
+    "color_jitter_ps",
     "color_normalize",
     "AugParams",
     "augment_batch",
     "flip_permutation",
     "neutral_params",
+    "per_sample_keys",
     "sample_aug_params",
+    "sample_aug_params_ps",
 ]

@@ -15,6 +15,17 @@ def color_jitter(images, key, lo=0.8, hi=1.2):
     return jnp.clip(images * scales, 0.0, 1.0)
 
 
+def color_jitter_ps(images, keys, lo=0.8, hi=1.2):
+    """:func:`color_jitter` with one PRNG key per sample — each sample's
+    jitter depends only on its own key, so the result is invariant to how
+    the batch is sharded over a mesh (DP==single-device equivalence)."""
+    C = images.shape[-1]
+    scales = jax.vmap(
+        lambda k: jax.random.uniform(k, (C,), minval=lo, maxval=hi)
+    )(keys)
+    return jnp.clip(images * scales[:, None, None, :], 0.0, 1.0)
+
+
 def color_normalize(images, mean, std=None):
     """Subtract the dataset per-channel mean (reference `color_normalize`);
     optional std division for modern configs."""

@@ -19,10 +19,22 @@ import jax
 import jax.numpy as jnp
 
 from posetpu.aug.affine import compose_affine, make_transform, transform_points
-from posetpu.aug.color import color_jitter, color_normalize
+from posetpu.aug.color import color_jitter, color_jitter_ps, color_normalize
 from posetpu.aug.heatmap import rasterize_gaussians
 from posetpu.aug.warp import affine_warp
 from posetpu.oracles.transforms import FLIP_PAIRS
+
+
+def per_sample_keys(key, index):
+    """(B,) PRNG keys derived from the GLOBAL dataset sample index.
+
+    Keying randomness on the sample — not on the batch position or the mesh
+    shard — makes every stochastic choice (aug params, agent bin draws,
+    jitter) identical whether the batch runs on one device or sharded over a
+    mesh, and reproducible across device counts.  This is what lets the
+    DP==single-device equivalence tests hold with stochastic augmentation
+    enabled (SURVEY.md §4.4)."""
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(index)
 
 
 class AugParams(NamedTuple):
@@ -74,6 +86,42 @@ def sample_aug_params(
     return AugParams(scale_factor=sf, rot=rot, flip=flip)
 
 
+def sample_aug_params_ps(
+    keys,
+    scale_factor=0.25,
+    rot_factor=30.0,
+    rot_prob=0.6,
+    flip_prob=0.5,
+    scale_mode="exp",
+):
+    """Per-sample-key variant of :func:`sample_aug_params`: ``keys`` is (B,)
+    PRNG keys (see :func:`per_sample_keys`), so the drawn parameters are
+    sharding-invariant.  Same distribution, same clipping rules."""
+
+    def one(k):
+        k_s, k_r, k_rp, k_f = jax.random.split(k, 4)
+        ns = jax.random.normal(k_s, ())
+        if scale_mode == "exp":
+            sf = 2.0 ** jnp.clip(
+                ns * scale_factor, -2 * scale_factor, 2 * scale_factor
+            )
+        elif scale_mode == "linear":
+            sf = jnp.clip(
+                ns * scale_factor + 1.0, 1.0 - scale_factor, 1.0 + scale_factor
+            )
+        else:
+            raise ValueError(f"unknown scale_mode {scale_mode!r}")
+        rot = jnp.clip(
+            jax.random.normal(k_r, ()) * rot_factor, -2 * rot_factor, 2 * rot_factor
+        )
+        rot = jnp.where(jax.random.uniform(k_rp, ()) <= rot_prob, rot, 0.0)
+        flip = jax.random.uniform(k_f, ()) < flip_prob
+        return sf, rot, flip
+
+    sf, rot, flip = jax.vmap(one)(keys)
+    return AugParams(scale_factor=sf, rot=rot, flip=flip)
+
+
 def neutral_params(batch):
     """Identity augmentation (validation / the joint-training neutral crop,
     SURVEY.md §3.2)."""
@@ -116,6 +164,7 @@ def augment_batch(
     std=None,
     dataset="mpii",
     jitter_key=None,
+    jitter_keys=None,
     src_index=None,
 ):
     """Fully-fused device augmentation of one batch.
@@ -136,6 +185,8 @@ def augment_batch(
       params:   AugParams from :func:`sample_aug_params`, agent bins, or
                 :func:`neutral_params`.
       jitter_key: PRNG key for color jitter, or None to disable (val).
+      jitter_keys: (B,) per-sample jitter keys (sharding-invariant variant;
+                takes precedence over jitter_key).
 
     Returns dict with:
       input (B, *inp_res, 3) normalized; target (B, K, *out_res);
@@ -168,7 +219,9 @@ def augment_batch(
         images, t_eff, inp_res, valid_wh=valid_wh, src_index=src_index
     )
 
-    if jitter_key is not None:
+    if jitter_keys is not None:
+        inp = color_jitter_ps(inp, jitter_keys)
+    elif jitter_key is not None:
         inp = color_jitter(inp, jitter_key)
     inp = color_normalize(inp, mean, std)
 

@@ -58,6 +58,10 @@ class AgentConfig:
     rot_bins: int = 7
     occ_nodes: int = 0  # >0 enables AHO head (1 + sum g^2 over levels)
     occ_levels: Sequence[int] = (1, 2, 4)
+    # "tree": sample level then cell, logp summed along the path (the
+    # reference's hierarchical organization, SURVEY.md C13); "flat": one
+    # categorical over all nodes.
+    occ_mode: str = "tree"
     # Agent sees the crop avg-pooled by this factor.  2 is the default for a
     # measured reason: a full-res agent stem (tiny-channel conv at 256²)
     # makes XLA:TPU compile the joint program ~26x slower (BASELINE.md);

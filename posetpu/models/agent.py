@@ -40,6 +40,10 @@ def occlusion_hierarchy(res=(256, 256), levels=(1, 2, 4)):
     square occluders.  Level g contributes a g x g grid of cells, each cell
     occluding 1/(g+1)-ish of the crop side centered on the cell.  Returns an
     (N, 4) int array of (y0, x0, h, w) boxes; node 0 is "no occlusion".
+
+    Node layout: [none, level levels[0] cells (row-major), level levels[1]
+    cells, ...] — :func:`occ_level_offsets` gives the per-level start index
+    used by the tree-structured sampler.
     """
     H, W = res
     boxes = [(0, 0, 0, 0)]  # node 0: identity (no occlusion)
@@ -53,6 +57,16 @@ def occlusion_hierarchy(res=(256, 256), levels=(1, 2, 4)):
     return np.asarray(boxes, np.int32)
 
 
+def occ_level_offsets(levels):
+    """Start index of each level's cells in the flat node layout of
+    :func:`occlusion_hierarchy` (node 0 is "no occlusion")."""
+    offs, n = [], 1
+    for g in levels:
+        offs.append(n)
+        n += g * g
+    return np.asarray(offs, np.int32)
+
+
 class AugAgent(nn.Module):
     """Small CNN: neutral crop -> categorical logits over augmentation bins.
 
@@ -63,7 +77,12 @@ class AugAgent(nn.Module):
 
     num_scale_bins: int = 7
     num_rot_bins: int = 7
-    num_occ_nodes: int = 0  # 0 disables the AHO head
+    num_occ_nodes: int = 0  # 0 disables the AHO head(s)
+    # AHO head organization (SURVEY.md C13): "tree" emits a level head plus
+    # per-level cell heads and samples coarse->fine (the reference's
+    # hierarchical organization); "flat" is one categorical over all nodes.
+    occ_mode: str = "tree"
+    occ_levels: Sequence[int] = (1, 2, 4)
     widths: Sequence[int] = (32, 64, 128, 256)
     input_downscale: int = 1  # avg-pool the crop before the stem (2 or 4:
     # bin prediction needs coarse context, not pixels — cuts agent cost 4x/16x)
@@ -104,7 +123,28 @@ class AugAgent(nn.Module):
             "rot": nn.Dense(self.num_rot_bins, dtype=jnp.float32, name="head_rot")(x),
         }
         if self.num_occ_nodes > 0:
-            out["occ"] = nn.Dense(self.num_occ_nodes, dtype=jnp.float32, name="head_occ")(x)
+            if self.occ_mode == "tree":
+                levels = tuple(self.occ_levels)
+                expect = 1 + sum(g * g for g in levels)
+                if self.num_occ_nodes != expect:
+                    raise ValueError(
+                        f"num_occ_nodes={self.num_occ_nodes} does not match "
+                        f"occ_levels={levels} (expected {expect})"
+                    )
+                # level head: [none, level_0, level_1, ...]
+                out["occ_level"] = nn.Dense(
+                    len(levels) + 1, dtype=jnp.float32, name="head_occ_level"
+                )(x)
+                out["occ_cells"] = tuple(
+                    nn.Dense(g * g, dtype=jnp.float32, name=f"head_occ_cell{g}")(x)
+                    for g in levels
+                )
+            elif self.occ_mode == "flat":
+                out["occ"] = nn.Dense(
+                    self.num_occ_nodes, dtype=jnp.float32, name="head_occ"
+                )(x)
+            else:
+                raise ValueError(f"unknown occ_mode {self.occ_mode!r}")
         return out
 
 
@@ -116,3 +156,74 @@ def sample_bins(key, logits):
     logp = jax.nn.log_softmax(logits, axis=-1)
     sel = jnp.take_along_axis(logp, idx[:, None], axis=-1)[:, 0]
     return idx, sel
+
+
+def sample_bins_ps(keys, logits):
+    """Per-sample-key variant of :func:`sample_bins`: ``keys`` is (B,) PRNG
+    keys (one per sample, e.g. from ``per_sample_keys``).  Each sample's draw
+    depends only on its own key and logits, so results are identical whether
+    the batch runs whole on one device or sharded over a mesh — the property
+    the DP==single-device joint-step equivalence rests on."""
+    idx = jax.vmap(lambda k, l: jax.random.categorical(k, l))(keys, logits)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    sel = jnp.take_along_axis(logp, idx[:, None], axis=-1)[:, 0]
+    return idx, sel
+
+
+def sample_occlusion_tree(keys, level_logits, cell_logits, levels):
+    """Tree-structured AHO sampling (SURVEY.md C13): sample the hierarchy
+    level (including "none"), then the cell within that level; the policy
+    log-prob is the sum along the path.
+
+    keys: (B,) per-sample PRNG keys; level_logits: (B, L+1) with column 0 =
+    "no occlusion"; cell_logits: tuple of L arrays (B, g*g); levels: static
+    grid sizes, matching :func:`occlusion_hierarchy`.
+
+    Returns (node, lvl, cell, logp), all (B,): ``node`` is the flat index
+    into the hierarchy's box table; ``(lvl, cell)`` is the sampled path
+    (re-fed to :func:`occlusion_tree_logp` by the REINFORCE objective);
+    ``logp`` = log p(level) [+ log p(cell | level)].
+    Compiler-friendly: a cell is drawn at every level and the sampled
+    level's draw is selected — no data-dependent control flow.
+    """
+    levels = tuple(levels)
+    k_lvl = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+    lvl, logp_lvl = sample_bins_ps(k_lvl, level_logits)  # 0 = none
+
+    cells, logps = [], []
+    for li, cl in enumerate(cell_logits):
+        k_cell = jax.vmap(lambda k: jax.random.fold_in(k, li + 1))(keys)
+        c, lp = sample_bins_ps(k_cell, cl)
+        cells.append(c)
+        logps.append(lp)
+    cells = jnp.stack(cells, axis=1)  # (B, L)
+    logps = jnp.stack(logps, axis=1)
+    offsets = jnp.asarray(occ_level_offsets(levels))
+
+    b = jnp.arange(keys.shape[0])
+    li = jnp.maximum(lvl - 1, 0)  # level index into the stacked draws
+    cell = cells[b, li]
+    node = jnp.where(lvl == 0, 0, offsets[li] + cell)
+    logp = logp_lvl + jnp.where(lvl == 0, 0.0, logps[b, li])
+    return node, lvl, cell, logp
+
+
+def occlusion_tree_logp(level_logits, cell_logits, lvl, cell):
+    """log p of a (level, cell) path under the tree policy — the
+    differentiable re-evaluation used by the REINFORCE objective (the
+    sampled path is fixed, the logits carry the gradient)."""
+    lp_lvl = jnp.take_along_axis(
+        jax.nn.log_softmax(level_logits), lvl[:, None], axis=1
+    )[:, 0]
+    b = jnp.arange(level_logits.shape[0])
+    li = jnp.maximum(lvl - 1, 0)
+    # clamp per level: `cell` indexes the SAMPLED level's grid and may exceed
+    # a smaller level's width; only the sampled level's column is selected
+    lp_cells = jnp.stack(
+        [
+            jax.nn.log_softmax(cl)[b, jnp.minimum(cell, cl.shape[1] - 1)]
+            for cl in cell_logits
+        ],
+        axis=1,
+    )
+    return lp_lvl + jnp.where(lvl == 0, 0.0, lp_cells[b, li])

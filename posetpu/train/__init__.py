@@ -7,6 +7,7 @@ from posetpu.train.adversarial import (
     JointState,
     apply_occlusion,
     make_joint_step,
+    make_joint_step_split,
     per_sample_stacked_mse,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "JointState",
     "apply_occlusion",
     "make_joint_step",
+    "make_joint_step_split",
     "per_sample_stacked_mse",
 ]

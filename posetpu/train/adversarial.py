@@ -10,18 +10,34 @@ Here the ENTIRE minimax step is one jitted, shard_map-able program:
 
   neutral crop (device warp)                    posetpu.aug
   -> agent forward (bf16 convs)                 posetpu.models.agent
-  -> categorical bin sampling (jax PRNG)
+  -> categorical bin sampling (per-sample jax PRNG)
   -> adversarial warp + rasterize (device)      posetpu.aug
-  -> AHO occlusion masking (optional)
+  -> AHO occlusion masking (optional, tree- or flat-sampled)
   -> pose fwd/bwd on the adversarial batch
   -> reference-aug forward (no grad) as the REINFORCE baseline
   -> reward = per-sample loss(sampled aug) - loss(reference aug)
-  -> agent REINFORCE update + pose RMSprop update
+  -> agent REINFORCE update (gated to every `update_every`-th step,
+     the reference's alternating minimax cadence) + pose RMSprop update
 
 Reward rule (C7): bins whose augmentation makes the pose network's loss
 HIGHER than the reference augmentation get their probability increased
 (policy-gradient ascent on estimator loss), pose net descends on its own
 loss — the paper's minimax joint optimization.
+
+Two builders produce the SAME math (tested equivalent to fp tolerance):
+
+  make_joint_step        — one fused program; shard_map-able for DP.  All
+                           randomness is per-sample (keyed on the global
+                           dataset index) and the advantage normalization
+                           uses psum'd GLOBAL moments, so the 8-chip run is
+                           statistically identical to single-device.
+  make_joint_step_split  — the same math as four small jits, for single-chip
+                           use where XLA:TPU compiles the monolithic 8-stack
+                           joint program pathologically (BASELINE.md).
+
+Both are built from the shared helpers below (_sample_policy, _policy_logp,
+_normalize_advantage, _agent_update) — equivalence by construction, then
+verified by tests/test_adversarial.py.
 """
 
 from __future__ import annotations
@@ -35,10 +51,15 @@ from posetpu.aug.pipeline import (
     AugParams,
     augment_batch,
     neutral_params,
-    sample_aug_params,
+    per_sample_keys,
+    sample_aug_params_ps,
 )
 from posetpu.eval.decode import accuracy
-from posetpu.models.agent import sample_bins
+from posetpu.models.agent import (
+    occlusion_tree_logp,
+    sample_bins_ps,
+    sample_occlusion_tree,
+)
 from posetpu.train.state import TrainState
 from posetpu.train.step import _augment
 
@@ -54,11 +75,13 @@ def _tile2(x):
     return jnp.concatenate([x, x], axis=0)
 
 
-def _augment_pair(batch, params_a, params_b, aug_cfg, mean, std, jitter_key):
+def _augment_pair(batch, params_a, params_b, aug_cfg, mean, std, jitter_keys):
     """Warp the adversarial and reference crops of one batch in a single
     fused pass (ONE gather over the source images via src_index — the
     separate-pass form tripled the warp's operand traffic).  Returns the
-    combined aug dict with 2B leading entries: [:B]=a, [B:]=b."""
+    combined aug dict with 2B leading entries: [:B]=a, [B:]=b.  The same
+    per-sample jitter applies to both crops of a sample, keeping the
+    reward's loss comparison aug-for-aug fair."""
     B = batch["image"].shape[0]
     params = AugParams(
         scale_factor=jnp.concatenate([params_a.scale_factor, params_b.scale_factor]),
@@ -79,7 +102,7 @@ def _augment_pair(batch, params_a, params_b, aug_cfg, mean, std, jitter_key):
         mean=mean,
         std=std,
         dataset=aug_cfg.dataset,
-        jitter_key=jitter_key,
+        jitter_keys=_tile2(jitter_keys) if jitter_keys is not None else None,
         src_index=jnp.concatenate(
             [jnp.arange(B, dtype=jnp.int32)] * 2
         ),
@@ -115,6 +138,167 @@ def apply_occlusion(images, node_idx, boxes):
     return jnp.where(inside[..., None], 0.0, images)
 
 
+# ---- shared joint-step math (used by BOTH the fused and split variants;
+# ---- identical key derivations are what make them equivalent) ----
+
+
+def _sample_policy(key, batch, logits, aug_cfg, scale_table, rot_table, occ):
+    """Draw every stochastic choice of one joint step.
+
+    All draws use per-sample keys folded from the GLOBAL dataset index
+    (``batch['index']``), so the result is invariant to batch sharding.
+
+    ``occ``: None, or dict(mode="flat"|"tree", levels=...) matching the
+    agent's AHO head layout.
+
+    Returns (extras, adv_params, ref_params, jitter_keys): ``extras`` holds
+    the sampled policy path (si, ri [, oi / occ_lvl / occ_cell]) that
+    :func:`_policy_logp` re-evaluates differentiably.
+    """
+    k_s, k_r, k_o, k_flip, k_jit, k_ref = jax.random.split(key, 6)
+    idx = batch["index"]
+    si, _ = sample_bins_ps(per_sample_keys(k_s, idx), logits["scale"])
+    ri, _ = sample_bins_ps(per_sample_keys(k_r, idx), logits["rot"])
+    extras = {"si": si, "ri": ri}
+    if occ is not None:
+        if occ["mode"] == "tree":
+            node, lvl, cell, _ = sample_occlusion_tree(
+                per_sample_keys(k_o, idx),
+                logits["occ_level"],
+                logits["occ_cells"],
+                occ["levels"],
+            )
+            extras.update({"oi": node, "occ_lvl": lvl, "occ_cell": cell})
+        else:
+            oi, _ = sample_bins_ps(per_sample_keys(k_o, idx), logits["occ"])
+            extras["oi"] = oi
+    flip_u = jax.vmap(lambda k: jax.random.uniform(k, ()))(
+        per_sample_keys(k_flip, idx)
+    )
+    adv_params = AugParams(
+        scale_factor=scale_table[si],
+        rot=rot_table[ri],
+        flip=flip_u < aug_cfg.flip_prob,
+    )
+    ref_params = sample_aug_params_ps(
+        per_sample_keys(k_ref, idx),
+        scale_factor=aug_cfg.scale_factor,
+        rot_factor=aug_cfg.rot_factor,
+        rot_prob=aug_cfg.rot_prob,
+        flip_prob=aug_cfg.flip_prob,
+        scale_mode=aug_cfg.scale_mode,
+    )
+    jitter_keys = (
+        per_sample_keys(k_jit, idx) if aug_cfg.color_jitter else None
+    )
+    return extras, adv_params, ref_params, jitter_keys
+
+
+def _policy_logp(logits, extras):
+    """log pi(sampled path) per sample — differentiable in ``logits``; the
+    sampled indices in ``extras`` are fixed (standard REINFORCE)."""
+    logp = jnp.take_along_axis(
+        jax.nn.log_softmax(logits["scale"]), extras["si"][:, None], axis=1
+    )[:, 0]
+    logp = logp + jnp.take_along_axis(
+        jax.nn.log_softmax(logits["rot"]), extras["ri"][:, None], axis=1
+    )[:, 0]
+    if "occ_lvl" in extras:  # tree-structured AHO (C13)
+        logp = logp + occlusion_tree_logp(
+            logits["occ_level"],
+            logits["occ_cells"],
+            extras["occ_lvl"],
+            extras["occ_cell"],
+        )
+    elif "oi" in extras:  # flat AHO head
+        logp = logp + jnp.take_along_axis(
+            jax.nn.log_softmax(logits["occ"]), extras["oi"][:, None], axis=1
+        )[:, 0]
+    return logp
+
+
+def _entropy(logits):
+    return -jnp.mean(
+        jax.nn.softmax(logits["scale"]) * jax.nn.log_softmax(logits["scale"])
+    )
+
+
+def _normalize_advantage(adv, baseline, axis_name):
+    """Standardize the advantage with GLOBAL batch moments.
+
+    Under DP the mean and mean-of-squares are psum-averaged across shards
+    before the std — the mean of per-shard stds is NOT the global std
+    (round-1 defect), and equal shard sizes make these pmean'd moments
+    exactly the full-batch moments.
+    """
+    adv = jax.lax.stop_gradient(adv)
+    if baseline == "batch_mean":
+        m = jnp.mean(adv)
+        m2 = jnp.mean(adv * adv)
+        if axis_name is not None:
+            m = jax.lax.pmean(m, axis_name)
+            m2 = jax.lax.pmean(m2, axis_name)
+        s = jnp.sqrt(jnp.maximum(m2 - m * m, 0.0)) + 1e-6
+        adv = (adv - m) / s
+    elif baseline == "sign":
+        adv = jnp.sign(adv)
+    return adv
+
+
+def _agent_update(
+    agent_model, agent_tx, agent_state, neutral_inp, extras, adv, do_update
+):
+    """REINFORCE update of the agent, gated by ``do_update`` (the minimax
+    cadence knob `agent.update_every`, SURVEY.md §3.2 line 181): params,
+    optimizer state, BN stats, and the step counter only advance on update
+    steps.  The gradient is always computed (static program shape; the agent
+    is ~1% of the joint step's FLOPs) and discarded via jnp.where.
+    """
+
+    def objective(p):
+        logits, mut = agent_model.apply(
+            {"params": p, "batch_stats": agent_state.batch_stats},
+            neutral_inp,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        loss = -jnp.mean(adv * _policy_logp(logits, extras))
+        return loss, (mut["batch_stats"], _entropy(logits))
+
+    (agent_loss, (new_bs, ent)), grads = jax.value_and_grad(
+        objective, has_aux=True
+    )(agent_state.params)
+    return agent_loss, ent, grads, new_bs
+
+
+def _gate(do, new, old):
+    return jax.tree.map(lambda a, b: jnp.where(do, a, b), new, old)
+
+
+def _finish_agent_state(agent_tx, agent_state, grads, new_bs, do_update):
+    updates, new_opt = agent_tx.update(
+        grads, agent_state.opt_state, agent_state.params
+    )
+    new_params = optax.apply_updates(agent_state.params, updates)
+    return TrainState(
+        params=_gate(do_update, new_params, agent_state.params),
+        batch_stats=_gate(do_update, new_bs, agent_state.batch_stats),
+        opt_state=_gate(do_update, new_opt, agent_state.opt_state),
+        step=agent_state.step + do_update.astype(jnp.int32),
+    )
+
+
+def _occ_spec(occ_boxes, agent_model, occ_mode, occ_levels):
+    """The sampler must match the agent's AHO head layout; None arguments
+    resolve from the agent model's own fields (the default — passing
+    explicit values is only for agents without those attributes)."""
+    if occ_boxes is None:
+        return None
+    mode = occ_mode or getattr(agent_model, "occ_mode", "flat")
+    levels = tuple(occ_levels or getattr(agent_model, "occ_levels", ()))
+    return {"mode": mode, "levels": levels}
+
+
 def make_joint_step_split(
     pose_model,
     agent_model,
@@ -127,7 +311,10 @@ def make_joint_step_split(
     scale_table,
     rot_table,
     occ_boxes=None,
+    occ_mode=None,
+    occ_levels=None,
     baseline="batch_mean",
+    update_every=1,
 ):
     """Split-program variant of :func:`make_joint_step` for single-chip use.
 
@@ -141,65 +328,49 @@ def make_joint_step_split(
          reference augmented batches
       B: pose fwd/bwd + RMSprop update on the adversarial batch
       C: reference forward (no grad) -> per-sample baseline losses
-      D: agent REINFORCE update from the advantage
+      D: agent REINFORCE update from the advantage (cadence-gated)
 
     Not shard_map-compatible (the epoch driver handles DP via the fused
     variant); returns a callable (state, batch, key) -> (state, metrics).
+    Proven numerically equivalent to the fused variant by
+    tests/test_adversarial.py::TestVariantEquivalence.
     """
     scale_table_j = jnp.asarray(scale_table, jnp.float32)
     rot_table_j = jnp.asarray(rot_table, jnp.float32)
+    occ = _occ_spec(occ_boxes, agent_model, occ_mode, occ_levels)
 
     @jax.jit
     def stage_a(agent_state: TrainState, batch, key):
-        k_s, k_r, k_o, k_flip, k_jit, k_ref = jax.random.split(key, 6)
         B = batch["image"].shape[0]
         aug_n = _augment(batch, neutral_params(B), aug_cfg, mean, std, None)
-        logits = agent_model.apply(
+        # train=True batch semantics, mutation discarded — identical to the
+        # fused variant's sampling forward (the update forward in stage D
+        # applies the BN-stat mutation, exactly as the fused objective does)
+        logits, _ = agent_model.apply(
             {
                 "params": agent_state.params,
                 "batch_stats": agent_state.batch_stats,
             },
             aug_n["input"],
-            train=False,
+            train=True,
+            mutable=["batch_stats"],
         )
-        si, logp_s = sample_bins(k_s, logits["scale"])
-        ri, logp_r = sample_bins(k_r, logits["rot"])
-        idx = {"si": si, "ri": ri}
-        if occ_boxes is not None:
-            oi, _ = sample_bins(k_o, logits["occ"])
-            idx["oi"] = oi
-        flip = jax.random.uniform(k_flip, (B,)) < aug_cfg.flip_prob
-        adv_params = AugParams(
-            scale_factor=scale_table_j[si], rot=rot_table_j[ri], flip=flip
-        )
-        ref_params = sample_aug_params(
-            k_ref,
-            B,
-            scale_factor=aug_cfg.scale_factor,
-            rot_factor=aug_cfg.rot_factor,
-            rot_prob=aug_cfg.rot_prob,
-            flip_prob=aug_cfg.flip_prob,
-            scale_mode=aug_cfg.scale_mode,
+        extras, adv_params, ref_params, jitter_keys = _sample_policy(
+            key, batch, logits, aug_cfg, scale_table_j, rot_table_j, occ
         )
         aug2 = _augment_pair(
-            batch,
-            adv_params,
-            ref_params,
-            aug_cfg,
-            mean,
-            std,
-            k_jit if aug_cfg.color_jitter else None,
+            batch, adv_params, ref_params, aug_cfg, mean, std, jitter_keys
         )
         inp_a = aug2["input"][:B]
-        if occ_boxes is not None:
-            inp_a = apply_occlusion(inp_a, idx["oi"], occ_boxes)
+        if occ is not None:
+            inp_a = apply_occlusion(inp_a, extras["oi"], occ_boxes)
         return {
             "neutral_inp": aug_n["input"],
             "inp_a": inp_a,
             "tgt_a": aug2["target"][:B],
             "inp_r": aug2["input"][B:],
             "tgt_r": aug2["target"][B:],
-            "idx": idx,
+            "extras": extras,
         }
 
     @jax.jit
@@ -245,48 +416,13 @@ def make_joint_step_split(
         return per_sample_stacked_mse(outs, tgt_r.transpose(0, 2, 3, 1))
 
     @jax.jit
-    def stage_d(agent_state: TrainState, neutral_inp, idx, advantage):
-        adv = jax.lax.stop_gradient(advantage)
-        if baseline == "batch_mean":
-            adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-6)
-        elif baseline == "sign":
-            adv = jnp.sign(adv)
-
-        def objective(p):
-            logits, mut = agent_model.apply(
-                {"params": p, "batch_stats": agent_state.batch_stats},
-                neutral_inp,
-                train=True,
-                mutable=["batch_stats"],
-            )
-            logp = jnp.take_along_axis(
-                jax.nn.log_softmax(logits["scale"]), idx["si"][:, None], axis=1
-            )[:, 0]
-            logp = logp + jnp.take_along_axis(
-                jax.nn.log_softmax(logits["rot"]), idx["ri"][:, None], axis=1
-            )[:, 0]
-            if "oi" in idx:
-                logp = logp + jnp.take_along_axis(
-                    jax.nn.log_softmax(logits["occ"]), idx["oi"][:, None], axis=1
-                )[:, 0]
-            ent = -jnp.mean(
-                jax.nn.softmax(logits["scale"])
-                * jax.nn.log_softmax(logits["scale"])
-            )
-            return -jnp.mean(adv * logp), (mut["batch_stats"], ent)
-
-        (agent_loss, (new_bs, ent)), grads = jax.value_and_grad(
-            objective, has_aux=True
-        )(agent_state.params)
-        updates, new_opt = agent_tx.update(
-            grads, agent_state.opt_state, agent_state.params
+    def stage_d(agent_state: TrainState, neutral_inp, extras, advantage, do_update):
+        adv = _normalize_advantage(advantage, baseline, axis_name=None)
+        agent_loss, ent, grads, new_bs = _agent_update(
+            agent_model, agent_tx, agent_state, neutral_inp, extras, adv, do_update
         )
-        new_params = optax.apply_updates(agent_state.params, updates)
-        new_state = TrainState(
-            params=new_params,
-            batch_stats=new_bs,
-            opt_state=new_opt,
-            step=agent_state.step + 1,
+        new_state = _finish_agent_state(
+            agent_tx, agent_state, grads, new_bs, do_update
         )
         return new_state, agent_loss, ent
 
@@ -297,8 +433,13 @@ def make_joint_step_split(
             state.pose, staged["inp_a"], staged["tgt_a"]
         )
         l_ref = stage_c(state.pose, staged["inp_r"], staged["tgt_r"])
+        do_update = (state.step % update_every) == 0
         new_agent, agent_loss, ent = stage_d(
-            state.agent, staged["neutral_inp"], staged["idx"], l_adv - l_ref
+            state.agent,
+            staged["neutral_inp"],
+            staged["extras"],
+            l_adv - l_ref,
+            do_update,
         )
         new_state = JointState(
             pose=new_pose, agent=new_agent, step=state.step + 1
@@ -327,94 +468,70 @@ def make_joint_step(
     scale_table,
     rot_table,
     occ_boxes=None,
+    occ_mode=None,
+    occ_levels=None,
     axis_name=None,
     baseline="batch_mean",
     ref_baseline=True,
+    update_every=1,
 ):
     """Build the jitted joint minimax step (configs 3-5 of
     BASELINE.json:10-12).
+
+    All randomness is per-sample (keyed on ``batch['index']``), so with
+    ``axis_name`` under shard_map the step is numerically identical to the
+    single-device run on the merged batch — sampled bins, aug params, and
+    jitter do not depend on the sharding, gradients are pmean'd, and the
+    advantage normalization uses global psum'd moments.
 
     ``ref_baseline=False`` drops the reference-augmentation forward pass
     and rewards relative to the batch's own mean loss (standard REINFORCE
     self-baseline) — cheaper (one model application instead of two) at the
     cost of deviating from the paper's harder-than-reference comparison.
+
+    ``update_every=N`` applies the agent's REINFORCE update only on steps
+    where step % N == 0 (the reference's alternating minimax schedule,
+    SURVEY.md §3.2 line 181); the pose net updates every step.
     """
     scale_table = jnp.asarray(scale_table, jnp.float32)
     rot_table = jnp.asarray(rot_table, jnp.float32)
+    occ = _occ_spec(occ_boxes, agent_model, occ_mode, occ_levels)
 
     def joint_step(state: JointState, batch, key):
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         key = jax.random.fold_in(key, state.step)
-        k_s, k_r, k_o, k_flip, k_jit, k_ref = jax.random.split(key, 6)
         B = batch["image"].shape[0]
 
         # --- 1. neutral crop for the agent (SURVEY.md §3.2) ---
         aug_n = _augment(batch, neutral_params(B), aug_cfg, mean, std, None)
 
-        # --- 2-3. agent forward + bin sampling ---
-        def agent_loss_fn(agent_params):
-            logits, mut = agent_model.apply(
-                {"params": agent_params, "batch_stats": state.agent.batch_stats},
-                aug_n["input"],
-                train=True,
-                mutable=["batch_stats"],
-            )
-            si, logp_s = sample_bins(k_s, logits["scale"])
-            ri, logp_r = sample_bins(k_r, logits["rot"])
-            logp = logp_s + logp_r
-            extras = {"si": si, "ri": ri}
-            if occ_boxes is not None:
-                oi, logp_o = sample_bins(k_o, logits["occ"])
-                logp = logp + logp_o
-                extras["oi"] = oi
-            return logp, (extras, mut["batch_stats"], logits)
-
-        # Sample once (no grad yet) to build the augmented batch.
-        logp0, (extras, _, _) = agent_loss_fn(state.agent.params)
-        flip = jax.random.uniform(k_flip, (B,)) < aug_cfg.flip_prob
-        adv_params = AugParams(
-            scale_factor=scale_table[extras["si"]],
-            rot=rot_table[extras["ri"]],
-            flip=flip,
+        # --- 2-3. agent forward + per-sample bin sampling ---
+        logits0, _ = agent_model.apply(
+            {
+                "params": state.agent.params,
+                "batch_stats": state.agent.batch_stats,
+            },
+            aug_n["input"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        extras, adv_params, ref_params, jitter_keys = _sample_policy(
+            key, batch, logits0, aug_cfg, scale_table, rot_table, occ
         )
 
         # --- 4-5. adversarial + reference warps fused into ONE pass ---
         if ref_baseline:
-            ref_params = sample_aug_params(
-                k_ref,
-                B,
-                scale_factor=aug_cfg.scale_factor,
-                rot_factor=aug_cfg.rot_factor,
-                rot_prob=aug_cfg.rot_prob,
-                flip_prob=aug_cfg.flip_prob,
-                scale_mode=aug_cfg.scale_mode,
-            )
             aug2 = _augment_pair(
-                batch,
-                adv_params,
-                ref_params,
-                aug_cfg,
-                mean,
-                std,
-                k_jit if aug_cfg.color_jitter else None,
+                batch, adv_params, ref_params, aug_cfg, mean, std, jitter_keys
             )
             inp_a = aug2["input"][:B]
             target_a = aug2["target"][:B].transpose(0, 2, 3, 1)
             inp_r = aug2["input"][B:]
             tgt_r = aug2["target"][B:].transpose(0, 2, 3, 1)
         else:
-            aug_a = _augment(
-                batch,
-                adv_params,
-                aug_cfg,
-                mean,
-                std,
-                k_jit if aug_cfg.color_jitter else None,
-            )
+            aug_a = _augment(batch, adv_params, aug_cfg, mean, std, jitter_keys)
             inp_a = aug_a["input"]
             target_a = aug_a["target"].transpose(0, 2, 3, 1)
-        if occ_boxes is not None:
+        if occ is not None:
             inp_a = apply_occlusion(inp_a, extras["oi"], occ_boxes)
 
         # --- 6. pose forward/backward on the adversarial batch ---
@@ -450,28 +567,13 @@ def make_joint_step(
             l_ref = jnp.mean(l_adv) * jnp.ones_like(l_adv)  # self-baseline
 
         # --- reward: harder-than-reference bins get positive advantage ---
-        adv = jax.lax.stop_gradient(l_adv - l_ref)  # (B,)
-        if baseline == "batch_mean":
-            m = jnp.mean(adv)
-            s = jnp.std(adv) + 1e-6
-            if axis_name is not None:
-                m = jax.lax.pmean(m, axis_name)
-                s = jax.lax.pmean(s, axis_name)
-            adv = (adv - m) / s
-        elif baseline == "sign":
-            adv = jnp.sign(adv)
+        adv = _normalize_advantage(l_adv - l_ref, baseline, axis_name)
 
-        # --- agent REINFORCE update: ascend E[advantage * log pi] ---
-        def agent_objective(agent_params):
-            logp, (_, new_bs, logits) = agent_loss_fn(agent_params)
-            loss = -jnp.mean(adv * logp)
-            ent = -jnp.mean(
-                jax.nn.softmax(logits["scale"]) * jax.nn.log_softmax(logits["scale"])
-            )
-            return loss, (new_bs, ent)
-
-        (agent_loss, (new_agent_bs, entropy)), agent_grads = (
-            jax.value_and_grad(agent_objective, has_aux=True)(state.agent.params)
+        # --- agent REINFORCE update (cadence-gated minimax) ---
+        do_update = (state.step % update_every) == 0
+        agent_loss, entropy, agent_grads, new_agent_bs = _agent_update(
+            agent_model, agent_tx, state.agent, aug_n["input"], extras, adv,
+            do_update,
         )
 
         if axis_name is not None:
@@ -479,22 +581,24 @@ def make_joint_step(
             agent_grads = jax.lax.pmean(agent_grads, axis_name)
             pose_loss = jax.lax.pmean(pose_loss, axis_name)
             agent_loss = jax.lax.pmean(agent_loss, axis_name)
+            entropy = jax.lax.pmean(entropy, axis_name)
 
         p_updates, new_pose_opt = pose_tx.update(
             pose_grads, state.pose.opt_state, state.pose.params
         )
         new_pose_params = optax.apply_updates(state.pose.params, p_updates)
-        a_updates, new_agent_opt = agent_tx.update(
-            agent_grads, state.agent.opt_state, state.agent.params
+        new_agent = _finish_agent_state(
+            agent_tx, state.agent, agent_grads, new_agent_bs, do_update
         )
-        new_agent_params = optax.apply_updates(state.agent.params, a_updates)
 
         acc = accuracy(
             last.astype(jnp.float32).transpose(0, 3, 1, 2),
             target_a.transpose(0, 3, 1, 2),
         )[0]
+        advantage = jnp.mean(l_adv - l_ref)
         if axis_name is not None:
             acc = jax.lax.pmean(acc, axis_name)
+            advantage = jax.lax.pmean(advantage, axis_name)
 
         new_state = JointState(
             pose=TrainState(
@@ -503,19 +607,14 @@ def make_joint_step(
                 opt_state=new_pose_opt,
                 step=state.pose.step + 1,
             ),
-            agent=TrainState(
-                params=new_agent_params,
-                batch_stats=new_agent_bs,
-                opt_state=new_agent_opt,
-                step=state.agent.step + 1,
-            ),
+            agent=new_agent,
             step=state.step + 1,
         )
         metrics = {
             "loss": pose_loss,
             "acc": acc,
             "agent_loss": agent_loss,
-            "advantage": jnp.mean(l_adv - l_ref),
+            "advantage": advantage,
             "entropy": entropy,
         }
         return new_state, metrics

@@ -124,6 +124,8 @@ class Experiment:
                 num_scale_bins=cfg.agent.scale_bins,
                 num_rot_bins=cfg.agent.rot_bins,
                 num_occ_nodes=(len(self.occ_boxes) if self.occ_boxes is not None else 0),
+                occ_mode=cfg.agent.occ_mode,
+                occ_levels=tuple(cfg.agent.occ_levels),
                 input_downscale=cfg.agent.input_downscale,
                 axis_name=self.axis,
             )
@@ -146,7 +148,10 @@ class Experiment:
                 scale_table=self.scale_table,
                 rot_table=self.rot_table,
                 occ_boxes=self.occ_boxes,
+                occ_mode=cfg.agent.occ_mode,
+                occ_levels=tuple(cfg.agent.occ_levels),
                 baseline=cfg.agent.reward_baseline,
+                update_every=cfg.agent.update_every,
             )
             if self.dp:
                 raw_step = make_joint_step(

@@ -18,13 +18,14 @@ import optax
 from posetpu.aug.pipeline import (
     augment_batch,
     neutral_params,
-    sample_aug_params,
+    per_sample_keys,
+    sample_aug_params_ps,
 )
 from posetpu.eval.decode import accuracy, final_preds
 from posetpu.train.state import TrainState
 
 
-def _augment(batch, params, aug_cfg, mean, std, jitter_key):
+def _augment(batch, params, aug_cfg, mean, std, jitter_keys):
     return augment_batch(
         batch["image"],
         batch["valid_wh"],
@@ -39,7 +40,7 @@ def _augment(batch, params, aug_cfg, mean, std, jitter_key):
         mean=mean,
         std=std,
         dataset=aug_cfg.dataset,
-        jitter_key=jitter_key,
+        jitter_keys=jitter_keys,
     )
 
 
@@ -64,14 +65,12 @@ def make_train_step(
     to run inside shard_map over that mesh axis."""
 
     def train_step(state: TrainState, batch, key):
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        # All randomness is keyed on (step, global sample index) — see
+        # per_sample_keys: identical draws on 1 device and on any mesh.
         key = jax.random.fold_in(key, state.step)
         k_par, k_jit = jax.random.split(key)
-        B = batch["image"].shape[0]
-        params_aug = sample_aug_params(
-            k_par,
-            B,
+        params_aug = sample_aug_params_ps(
+            per_sample_keys(k_par, batch["index"]),
             scale_factor=aug_cfg.scale_factor,
             rot_factor=aug_cfg.rot_factor,
             rot_prob=aug_cfg.rot_prob,
@@ -84,7 +83,9 @@ def make_train_step(
             aug_cfg,
             mean,
             std,
-            k_jit if aug_cfg.color_jitter else None,
+            per_sample_keys(k_jit, batch["index"])
+            if aug_cfg.color_jitter
+            else None,
         )
         target = aug["target"].transpose(0, 2, 3, 1)  # NHWC
 

@@ -1,5 +1,7 @@
 """Agent/joint-step tests (SURVEY.md §4.5): reward sign correctness, AHO
-occlusion masking, the fused minimax step running under jit and shard_map."""
+occlusion masking (flat + tree), the fused minimax step under jit and
+shard_map, DP==single-device equivalence of the JOINT step, split==fused
+variant equivalence, and the `update_every` minimax cadence."""
 
 import os
 
@@ -18,7 +20,13 @@ from posetpu.models import (
     scale_bin_table,
 )
 from posetpu.parallel import make_mesh, shard_train_step
-from posetpu.train import JointState, TrainState, apply_occlusion, make_joint_step
+from posetpu.train import (
+    JointState,
+    TrainState,
+    apply_occlusion,
+    make_joint_step,
+    make_joint_step_split,
+)
 from posetpu.train.state import make_optimizer
 
 
@@ -33,18 +41,24 @@ def synth(tmp_path_factory):
     )
 
 
-def _joint_setup(cfg, occ=False, axis_name=None):
-    model = hg(
-        num_stacks=1, num_feats=16, num_classes=16, axis_name=axis_name
-    )
-    boxes = occlusion_hierarchy((64, 64), (1, 2)) if occ else None
-    agent = AugAgent(
+def _components(cfg, occ=False, axis_name=None, dtype=None, occ_mode="tree"):
+    """Models, optimizers, and a fresh JointState for tiny joint-step tests."""
+    mkw = dict(num_stacks=1, num_feats=16, num_classes=16, axis_name=axis_name)
+    akw = dict(
         num_scale_bins=5,
         num_rot_bins=5,
-        num_occ_nodes=len(boxes) if occ else 0,
+        num_occ_nodes=len(occlusion_hierarchy((64, 64), (1, 2))) if occ else 0,
+        occ_mode=occ_mode,
+        occ_levels=(1, 2),
         widths=(8, 16),
         axis_name=axis_name,
     )
+    if dtype is not None:
+        mkw["dtype"] = dtype
+        akw["dtype"] = dtype
+    model = hg(**mkw)
+    boxes = occlusion_hierarchy((64, 64), (1, 2)) if occ else None
+    agent = AugAgent(**akw)
     tx = make_optimizer(cfg.optim, 10)
     atx = make_optimizer(cfg.optim, 10)
     x = jnp.zeros((1, 64, 64, 3))
@@ -65,6 +79,13 @@ def _joint_setup(cfg, occ=False, axis_name=None):
         ),
         step=jnp.zeros((), jnp.int32),
     )
+    return model, agent, tx, atx, boxes, state
+
+
+def _joint_setup(cfg, occ=False, axis_name=None, occ_mode="tree", **step_kw):
+    model, agent, tx, atx, boxes, state = _components(
+        cfg, occ=occ, axis_name=axis_name, occ_mode=occ_mode
+    )
     step = make_joint_step(
         model,
         agent,
@@ -76,6 +97,7 @@ def _joint_setup(cfg, occ=False, axis_name=None):
         rot_table=rotation_bin_table(5),
         occ_boxes=boxes,
         axis_name=axis_name,
+        **step_kw,
     )
     return step, state
 
@@ -85,6 +107,22 @@ def _tiny_cfg():
     cfg.aug.inp_res = (64, 64)
     cfg.aug.out_res = (16, 16)
     return cfg
+
+
+def _max_abs_diff(a, b):
+    return max(
+        jax.tree.leaves(
+            jax.tree.map(lambda x, y: float(jnp.abs(x - y).max()), a, b)
+        )
+    )
+
+
+def _assert_trees_close(a, b, atol=2e-4, rtol=1e-3):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(
+            np.asarray(x, np.float64), np.asarray(y, np.float64),
+            atol=atol, rtol=rtol,
+        )
 
 
 class TestOcclusion:
@@ -103,6 +141,7 @@ class TestOcclusion:
             assert 0 <= x0 and x0 + w <= 256
 
 
+@pytest.mark.slow
 class TestJointStep:
     def test_runs_and_updates_both(self, synth):
         cfg = _tiny_cfg()
@@ -113,33 +152,148 @@ class TestJointStep:
         for k in ("loss", "acc", "agent_loss", "advantage", "entropy"):
             assert np.isfinite(float(metrics[k])), k
         # both networks updated
-        d_pose = jax.tree.map(
-            lambda a, b: float(jnp.abs(a - b).max()), state.pose.params, new_state.pose.params
-        )
-        d_agent = jax.tree.map(
-            lambda a, b: float(jnp.abs(a - b).max()), state.agent.params, new_state.agent.params
-        )
-        assert max(jax.tree.leaves(d_pose)) > 0
-        assert max(jax.tree.leaves(d_agent)) > 0
+        assert _max_abs_diff(state.pose.params, new_state.pose.params) > 0
+        assert _max_abs_diff(state.agent.params, new_state.agent.params) > 0
         assert int(new_state.step) == 1
 
-    def test_with_occlusion_head(self, synth):
+    @pytest.mark.parametrize("occ_mode", ["flat", "tree"])
+    def test_with_occlusion_head(self, synth, occ_mode):
         cfg = _tiny_cfg()
-        step, state = _joint_setup(cfg, occ=True)
+        step, state = _joint_setup(cfg, occ=True, occ_mode=occ_mode)
         jstep = jax.jit(step)
         batch = next(iter(HostLoader(synth, 8, pad_hw=(256, 384))))
-        _, metrics = jstep(state, batch, jax.random.PRNGKey(0))
+        new_state, metrics = jstep(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
+        assert _max_abs_diff(state.agent.params, new_state.agent.params) > 0
 
-    def test_sharded_joint_step(self, synth):
+
+@pytest.mark.slow
+class TestJointDPEquivalence:
+    def test_joint_dp_equals_single_device(self, synth):
+        """The flagship claim (SURVEY.md §4.4): the sharded joint minimax
+        step is numerically equivalent to the single-device step on the
+        merged batch — WITH stochastic augmentation enabled, because every
+        draw is keyed on the global sample index, gradients/BN are pmean'd,
+        and the advantage normalization uses global psum'd moments."""
+        cfg = _tiny_cfg()  # stochastic aug + color jitter stay ON
+        batch = next(iter(HostLoader(synth, 16, pad_hw=(256, 384), seed=3)))
+        key = jax.random.PRNGKey(7)
+
+        # f32 models: the equivalence claim is exact math (bf16 accumulation
+        # order would add ~2^-8 noise and mask real bugs)
+        model1, agent1, tx, atx, _, state0 = _components(
+            cfg, axis_name=None, dtype=jnp.float32
+        )
+        step1 = jax.jit(
+            make_joint_step(
+                model1, agent1, tx, atx, cfg.aug, (0.2, 0.2, 0.2),
+                scale_table=scale_bin_table(5), rot_table=rotation_bin_table(5),
+            )
+        )
+        s1, m1 = step1(state0, batch, key)
+
+        model8, agent8, tx8, atx8, _, _ = _components(
+            cfg, axis_name="data", dtype=jnp.float32
+        )
+        step8 = shard_train_step(
+            make_joint_step(
+                model8, agent8, tx8, atx8, cfg.aug, (0.2, 0.2, 0.2),
+                scale_table=scale_bin_table(5), rot_table=rotation_bin_table(5),
+                axis_name="data",
+            ),
+            make_mesh(8),
+            donate=False,
+        )
+        s8, m8 = step8(state0, batch, key)
+
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m8["loss"]), rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            float(m1["agent_loss"]), float(m8["agent_loss"]), atol=2e-4, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            float(m1["advantage"]), float(m8["advantage"]), atol=2e-4, rtol=1e-3
+        )
+        _assert_trees_close(s1.pose.params, s8.pose.params)
+        _assert_trees_close(s1.pose.batch_stats, s8.pose.batch_stats)
+        _assert_trees_close(s1.agent.params, s8.agent.params)
+        _assert_trees_close(s1.agent.batch_stats, s8.agent.batch_stats)
+
+
+@pytest.mark.slow
+class TestVariantEquivalence:
+    @pytest.mark.parametrize("occ", [False, True])
+    def test_split_equals_fused(self, synth, occ):
+        """make_joint_step and make_joint_step_split are the same math
+        (VERDICT round-1 weak #3): same batch + key + state must give the
+        same pose update, agent update, BN stats, and metrics."""
         cfg = _tiny_cfg()
-        mesh = make_mesh(8)
-        step, state = _joint_setup(cfg, axis_name="data")
-        dstep = shard_train_step(step, mesh, donate=False)
-        batch = next(iter(HostLoader(synth, 16, pad_hw=(256, 384))))
-        new_state, metrics = dstep(state, batch, jax.random.PRNGKey(0))
-        assert np.isfinite(float(metrics["loss"]))
-        assert np.isfinite(float(metrics["agent_loss"]))
+        batch = next(iter(HostLoader(synth, 8, pad_hw=(256, 384))))
+        key = jax.random.PRNGKey(11)
+        model, agent, tx, atx, boxes, state0 = _components(
+            cfg, occ=occ, dtype=jnp.float32
+        )
+        kw = dict(
+            scale_table=scale_bin_table(5),
+            rot_table=rotation_bin_table(5),
+            occ_boxes=boxes,
+        )
+        fused = jax.jit(
+            make_joint_step(model, agent, tx, atx, cfg.aug, (0.2, 0.2, 0.2), **kw)
+        )
+        split = make_joint_step_split(
+            model, agent, tx, atx, cfg.aug, (0.2, 0.2, 0.2), **kw
+        )
+        sf, mf = fused(state0, batch, key)
+        ss, ms = split(state0, batch, key)
+        for k in ("loss", "acc", "agent_loss", "advantage", "entropy"):
+            np.testing.assert_allclose(
+                float(mf[k]), float(ms[k]), atol=2e-5, rtol=1e-4, err_msg=k
+            )
+        _assert_trees_close(sf.pose.params, ss.pose.params, atol=1e-5)
+        _assert_trees_close(sf.pose.batch_stats, ss.pose.batch_stats, atol=1e-5)
+        _assert_trees_close(sf.agent.params, ss.agent.params, atol=1e-5)
+        _assert_trees_close(sf.agent.batch_stats, ss.agent.batch_stats, atol=1e-5)
+
+
+@pytest.mark.slow
+class TestUpdateCadence:
+    @pytest.mark.parametrize("variant", ["fused", "split"])
+    def test_agent_updates_every_other_step(self, synth, variant):
+        """With update_every=2 the agent's params/opt/step advance only on
+        even steps (the reference's alternating minimax schedule, SURVEY.md
+        §3.2 line 181); the pose net advances every step."""
+        cfg = _tiny_cfg()
+        model, agent, tx, atx, _, state = _components(cfg)
+        kw = dict(
+            scale_table=scale_bin_table(5),
+            rot_table=rotation_bin_table(5),
+            update_every=2,
+        )
+        if variant == "fused":
+            step = jax.jit(
+                make_joint_step(
+                    model, agent, tx, atx, cfg.aug, (0.2, 0.2, 0.2), **kw
+                )
+            )
+        else:
+            step = make_joint_step_split(
+                model, agent, tx, atx, cfg.aug, (0.2, 0.2, 0.2), **kw
+            )
+        batch = next(iter(HostLoader(synth, 8, pad_hw=(256, 384))))
+        key = jax.random.PRNGKey(0)
+        changed = []
+        for i in range(4):
+            new_state, _ = step(state, batch, key)
+            changed.append(
+                _max_abs_diff(state.agent.params, new_state.agent.params) > 0
+            )
+            assert _max_abs_diff(state.pose.params, new_state.pose.params) > 0
+            state = new_state
+        assert changed == [True, False, True, False]
+        assert int(state.agent.step) == 2  # counted actual updates
+        assert int(state.pose.step) == 4
 
 
 class TestRewardSign:
@@ -166,56 +320,3 @@ class TestRewardSign:
             p = jax.tree.map(lambda a, b: a - 0.1 * b, p, g)
         probs = np.asarray(jax.nn.softmax(p["w"]))[0]
         assert probs[2] > 0.6, probs
-
-
-class TestSplitJointStep:
-    def test_split_matches_semantics(self, synth):
-        """Split-program joint step runs and updates both nets (single-chip
-        path of the epoch driver)."""
-        from posetpu.train.adversarial import make_joint_step_split
-        from posetpu.models import rotation_bin_table, scale_bin_table
-
-        cfg = _tiny_cfg()
-        model = hg(num_stacks=1, num_feats=16, num_classes=16)
-        boxes = occlusion_hierarchy((64, 64), (1, 2))
-        agent = AugAgent(
-            num_scale_bins=5, num_rot_bins=5, num_occ_nodes=len(boxes),
-            widths=(8, 16),
-        )
-        tx = make_optimizer(cfg.optim, 10)
-        atx = make_optimizer(cfg.optim, 10)
-        x = jnp.zeros((1, 64, 64, 3))
-        pv = model.init(jax.random.PRNGKey(0), x, train=True)
-        av = agent.init(jax.random.PRNGKey(1), x, train=True)
-        state = JointState(
-            pose=TrainState(
-                params=pv["params"], batch_stats=pv["batch_stats"],
-                opt_state=tx.init(pv["params"]), step=jnp.zeros((), jnp.int32),
-            ),
-            agent=TrainState(
-                params=av["params"], batch_stats=av["batch_stats"],
-                opt_state=atx.init(av["params"]), step=jnp.zeros((), jnp.int32),
-            ),
-            step=jnp.zeros((), jnp.int32),
-        )
-        step = make_joint_step_split(
-            model, agent, tx, atx, cfg.aug, (0.2, 0.2, 0.2),
-            scale_table=scale_bin_table(5), rot_table=rotation_bin_table(5),
-            occ_boxes=boxes,
-        )
-        batch = next(iter(HostLoader(synth, 8, pad_hw=(256, 384))))
-        new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
-        for k in ("loss", "acc", "agent_loss", "advantage", "entropy"):
-            assert np.isfinite(float(metrics[k])), k
-        d_pose = max(
-            jax.tree.leaves(jax.tree.map(
-                lambda a, b: float(jnp.abs(a - b).max()),
-                state.pose.params, new_state.pose.params))
-        )
-        d_agent = max(
-            jax.tree.leaves(jax.tree.map(
-                lambda a, b: float(jnp.abs(a - b).max()),
-                state.agent.params, new_state.agent.params))
-        )
-        assert d_pose > 0 and d_agent > 0
-        assert int(new_state.step) == 1

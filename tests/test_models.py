@@ -111,7 +111,9 @@ class TestHourglassNet:
 
 class TestAgent:
     def test_heads_and_shapes(self):
-        agent = AugAgent(num_scale_bins=7, num_rot_bins=5, num_occ_nodes=21)
+        agent = AugAgent(
+            num_scale_bins=7, num_rot_bins=5, num_occ_nodes=21, occ_mode="flat"
+        )
         x = jnp.zeros((3, 64, 64, 3))
         v = agent.init(jax.random.PRNGKey(0), x, train=False)
         out = agent.apply(v, x, train=False)
@@ -119,6 +121,33 @@ class TestAgent:
         assert out["rot"].shape == (3, 5)
         assert out["occ"].shape == (3, 21)
         assert out["scale"].dtype == jnp.float32
+
+    def test_tree_heads_and_shapes(self):
+        agent = AugAgent(
+            num_scale_bins=7,
+            num_rot_bins=5,
+            num_occ_nodes=22,
+            occ_mode="tree",
+            occ_levels=(1, 2, 4),
+        )
+        x = jnp.zeros((3, 64, 64, 3))
+        v = agent.init(jax.random.PRNGKey(0), x, train=False)
+        out = agent.apply(v, x, train=False)
+        assert out["occ_level"].shape == (3, 4)  # none + 3 levels
+        assert tuple(c.shape for c in out["occ_cells"]) == (
+            (3, 1),
+            (3, 4),
+            (3, 16),
+        )
+        assert "occ" not in out
+
+    def test_tree_head_node_count_validated(self):
+        agent = AugAgent(
+            num_occ_nodes=21, occ_mode="tree", occ_levels=(1, 2, 4)
+        )
+        x = jnp.zeros((1, 64, 64, 3))
+        with pytest.raises(ValueError):
+            agent.init(jax.random.PRNGKey(0), x, train=False)
 
     def test_bin_tables(self):
         s = scale_bin_table(7)
@@ -150,6 +179,84 @@ class TestAgent:
             np.log(0.9),
             atol=1e-3,
         )
+
+
+class TestTreeSampling:
+    """Tree-structured AHO sampling (SURVEY.md C13): logp correctness and
+    node-index consistency with the flat hierarchy box table."""
+
+    def _logits(self, B, key):
+        from posetpu.models import occ_level_offsets  # noqa: F401
+
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return {
+            "level": jax.random.normal(k1, (B, 3)),  # none + levels (1, 2)
+            "cells": (
+                jax.random.normal(k2, (B, 1)),
+                jax.random.normal(k3, (B, 4)),
+            ),
+        }
+
+    def test_logp_matches_manual_chain_rule(self):
+        from posetpu.models import occlusion_tree_logp, sample_occlusion_tree
+        from posetpu.aug import per_sample_keys
+
+        B, levels = 64, (1, 2)
+        lg = self._logits(B, jax.random.PRNGKey(0))
+        keys = per_sample_keys(jax.random.PRNGKey(1), jnp.arange(B))
+        node, lvl, cell, logp = sample_occlusion_tree(
+            keys, lg["level"], lg["cells"], levels
+        )
+        # manual: log softmax(level)[lvl] + (lvl>0) * log softmax(cell_lvl)[cell]
+        lp_lvl = np.asarray(jax.nn.log_softmax(lg["level"]))
+        lp_c = [np.asarray(jax.nn.log_softmax(c)) for c in lg["cells"]]
+        want = []
+        for b in range(B):
+            v = lp_lvl[b, int(lvl[b])]
+            if int(lvl[b]) > 0:
+                v += lp_c[int(lvl[b]) - 1][b, int(cell[b])]
+            want.append(v)
+        np.testing.assert_allclose(np.asarray(logp), want, rtol=1e-5)
+        # differentiable re-evaluation agrees with the sampling-time logp
+        logp2 = occlusion_tree_logp(lg["level"], lg["cells"], lvl, cell)
+        np.testing.assert_allclose(np.asarray(logp2), np.asarray(logp), rtol=1e-5)
+
+    def test_node_indices_match_hierarchy_layout(self):
+        from posetpu.models import sample_occlusion_tree
+        from posetpu.aug import per_sample_keys
+
+        B, levels = 256, (1, 2)
+        boxes = occlusion_hierarchy((64, 64), levels)
+        lg = self._logits(B, jax.random.PRNGKey(2))
+        keys = per_sample_keys(jax.random.PRNGKey(3), jnp.arange(B))
+        node, lvl, cell, _ = sample_occlusion_tree(
+            keys, lg["level"], lg["cells"], levels
+        )
+        node, lvl, cell = map(np.asarray, (node, lvl, cell))
+        assert node.min() >= 0 and node.max() < len(boxes)
+        # lvl 0 -> node 0; lvl 1 -> node 1; lvl 2 -> nodes 2..5
+        np.testing.assert_array_equal(node[lvl == 0], 0)
+        np.testing.assert_array_equal(node[lvl == 1], 1)
+        assert set(node[lvl == 2]) <= {2, 3, 4, 5}
+        np.testing.assert_array_equal(node[lvl == 2] - 2, cell[lvl == 2])
+
+    def test_per_sample_sampling_is_shard_invariant(self):
+        """sample_bins_ps depends only on (key_i, logits_i): any slicing of
+        the batch reproduces the same draws — the DP-equivalence property."""
+        from posetpu.models import sample_bins_ps
+        from posetpu.aug import per_sample_keys
+
+        B = 32
+        logits = jax.random.normal(jax.random.PRNGKey(4), (B, 7))
+        keys = per_sample_keys(jax.random.PRNGKey(5), jnp.arange(B))
+        full, _ = sample_bins_ps(keys, logits)
+        halves = jnp.concatenate(
+            [
+                sample_bins_ps(keys[:16], logits[:16])[0],
+                sample_bins_ps(keys[16:], logits[16:])[0],
+            ]
+        )
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(halves))
 
 
 class TestScanStacks:
