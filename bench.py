@@ -91,6 +91,77 @@ def run_bench(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256):
     return batch / statistics.median(times)
 
 
+def run_bench_loader(
+    batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256,
+    backend="host", workers=0,
+):
+    """End-to-end loader-fed steady state: decode on host (HostLoader or
+    grain), everything else on device.  The number is the audit trail for
+    the duty-cycle projection in BASELINE.md — on a 1-core build host it is
+    decode-bound by design (SURVEY.md §7 hard-part 4); on a multi-core TPU
+    host it should approach the device-resident number from run_bench."""
+    import tempfile
+
+    import jax
+
+    from posetpu.configs import named_config
+    from posetpu.data import HostLoader, MpiiDataset, make_synthetic_dataset
+    from posetpu.data.grain_pipeline import GrainLoader
+    from posetpu.models import hg
+    from posetpu.train import TrainState, make_train_step
+    from posetpu.train.state import make_optimizer
+    import jax.numpy as jnp
+
+    root = os.path.join(tempfile.gettempdir(), "posetpu_bench_synth")
+    ann = os.path.join(root, "annotations.json")
+    if not os.path.exists(ann):
+        make_synthetic_dataset(
+            root, num_train=max(4 * batch, 64), num_val=8, res=(640, 480)
+        )
+    ds = MpiiDataset(ann, os.path.join(root, "images"), split="train")
+
+    cfg = named_config("hg8_mpii")
+    cfg.aug.inp_res = (res, res)
+    cfg.aug.out_res = (res // 4, res // 4)
+    pad_hw = (512, 640)
+    cls = GrainLoader if backend == "grain" else HostLoader
+    kw = {"num_workers": workers} if backend == "grain" else {}
+    loader = cls(ds, batch, pad_hw=pad_hw, seed=0, **kw)
+
+    model = hg(num_stacks=stacks, num_blocks=1, num_classes=16, num_feats=feats)
+    tx = make_optimizer(cfg.optim, 1000)
+    x = jnp.zeros((1, res, res, 3))
+    v = model.init(jax.random.PRNGKey(0), x, train=True)
+    state = TrainState(
+        params=v["params"],
+        batch_stats=v["batch_stats"],
+        opt_state=tx.init(v["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = jax.jit(
+        make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43)),
+        donate_argnums=(0,),
+    )
+
+    def batches():
+        while True:  # endless epochs
+            yield from loader
+
+    it = batches()
+    key = jax.random.PRNGKey(0)
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        state, m = step(state, next(it), sub)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        state, m = step(state, next(it), sub)
+    jax.block_until_ready(m)
+    # sustained wall time INCLUDING host decode/collate — the whole chain
+    return batch * steps / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny model, CPU-safe")
@@ -98,6 +169,12 @@ def main():
     ap.add_argument("--stacks", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--res", type=int, default=None, help="input resolution (384 for config 5)")
+    ap.add_argument(
+        "--loader", choices=["host", "grain"], default=None,
+        help="measure the loader-fed end-to-end chain instead of the "
+        "device-resident step (decode included)",
+    )
+    ap.add_argument("--loader-workers", type=int, default=0)
     args = ap.parse_args()
 
     if args.quick:
@@ -113,17 +190,24 @@ def main():
     if args.res:
         kw["res"] = args.res
 
-    try:
-        ips = run_bench(**kw)
-    except Exception as e:  # OOM fallback: halve the batch once
-        sys.stderr.write(f"[bench] retry with smaller batch after: {e}\n")
-        kw["batch"] = max(2, kw["batch"] // 2)
-        ips = run_bench(**kw)
+    if args.loader:
+        kw["backend"] = args.loader
+        kw["workers"] = args.loader_workers
+        ips = run_bench_loader(**kw)
+        metric = f"images/sec/chip (loader-fed end-to-end, {args.loader})"
+    else:
+        try:
+            ips = run_bench(**kw)
+        except Exception as e:  # OOM fallback: halve the batch once
+            sys.stderr.write(f"[bench] retry with smaller batch after: {e}\n")
+            kw["batch"] = max(2, kw["batch"] // 2)
+            ips = run_bench(**kw)
+        metric = "images/sec/chip (aug+train) 8-stack hourglass"
 
     print(
         json.dumps(
             {
-                "metric": "images/sec/chip (aug+train) 8-stack hourglass",
+                "metric": metric,
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / REF_GPU_IMG_PER_SEC, 3),

@@ -95,9 +95,40 @@ def from_torch_state_dict(state_dict, params_template, batch_stats_template=None
     return _unflatten(new_p), (_unflatten(new_b) if batch_stats_template else None)
 
 
-def save_torch_checkpoint(path, params, batch_stats, epoch=0, best_acc=0.0):
-    """Write the reference's container: torch.save({'epoch', 'state_dict',
-    'best_acc'}) -> checkpoint.pth.tar."""
+def _opt_state_to_numpy(opt_state):
+    """optax state -> a plain nested {path: ndarray} dict (keyed by the
+    jax tree path), picklable without optax classes on the reading side."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+    return {
+        jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat
+    }
+
+
+def _opt_state_from_numpy(blob, opt_state_template):
+    """Inverse of :func:`_opt_state_to_numpy`, shaped by a template (e.g.
+    ``tx.init(params)``)."""
+    import jax
+
+    paths, treedef = jax.tree_util.tree_flatten_with_path(opt_state_template)
+    leaves = [
+        np.asarray(blob[jax.tree_util.keystr(path)]).astype(
+            np.asarray(tmpl).dtype
+        )
+        for path, tmpl in paths
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_torch_checkpoint(
+    path, params, batch_stats, epoch=0, best_acc=0.0, opt_state=None
+):
+    """Write the reference's container (SURVEY.md C10): torch.save of
+    {'epoch', 'state_dict', 'optimizer', 'best_acc'} -> checkpoint.pth.tar.
+    ``optimizer`` holds the optax state as a flat {tree path: array} dict
+    (the reference stores torch's optimizer.state_dict(); ours is the optax
+    equivalent under our canonical naming)."""
     import torch
 
     sd = {
@@ -105,12 +136,21 @@ def save_torch_checkpoint(path, params, batch_stats, epoch=0, best_acc=0.0):
         for k, v in to_torch_state_dict(params, batch_stats).items()
     }
     torch.save(
-        {"epoch": int(epoch), "state_dict": sd, "best_acc": float(best_acc)},
+        {
+            "epoch": int(epoch),
+            "state_dict": sd,
+            "optimizer": (
+                _opt_state_to_numpy(opt_state) if opt_state is not None else {}
+            ),
+            "best_acc": float(best_acc),
+        },
         path,
     )
 
 
-def load_torch_checkpoint(path, params_template, batch_stats_template=None):
+def load_torch_checkpoint(
+    path, params_template, batch_stats_template=None, opt_state_template=None
+):
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
@@ -118,4 +158,13 @@ def load_torch_checkpoint(path, params_template, batch_stats_template=None):
     params, bstats = from_torch_state_dict(
         sd, params_template, batch_stats_template
     )
-    return params, bstats, int(blob["epoch"]), float(blob["best_acc"])
+    opt_state = None
+    if opt_state_template is not None and blob.get("optimizer"):
+        opt_state = _opt_state_from_numpy(blob["optimizer"], opt_state_template)
+    return (
+        params,
+        bstats,
+        int(blob["epoch"]),
+        float(blob["best_acc"]),
+        opt_state,
+    )

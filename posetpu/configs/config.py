@@ -85,6 +85,10 @@ class ExperimentConfig:
     images_dir: str = ""  # reference --image-path
     pad_hw: Tuple[int, int] = (512, 512)
     batch_size: int = 6  # reference batch 6/GPU (BASELINE.json:8)
+    # "host": threaded HostLoader (+C++ decode pool); "grain": grain-backed
+    # multi-process pipeline (multi-core TPU hosts) — same batch contract.
+    loader_backend: str = "host"
+    loader_workers: int = 0  # grain worker processes (0 = in-process)
     # run
     checkpoint_dir: str = "checkpoints"  # reference --checkpoint
     resume: str = ""  # reference --resume
@@ -175,6 +179,8 @@ _FLAGS = {
     "--seed": ("seed", int),
     "--steps-per-epoch": ("steps_per_epoch", int),
     "--num-devices": ("num_devices", int),
+    "--loader-backend": ("loader_backend", str),
+    "--loader-workers": ("loader_workers", int),
 }
 
 

@@ -28,7 +28,11 @@ class _DecodeSample(pg.MapTransform):
 
 
 class GrainLoader:
-    """Iterable of posetpu batches backed by grain's DataLoader."""
+    """Iterable of posetpu batches backed by grain's DataLoader.
+
+    Matches the HostLoader epoch contract: each ``__iter__`` is one epoch,
+    and under ``shuffle`` successive epochs draw a fresh order (the sampler
+    is rebuilt per epoch with seed+epoch, mirroring HostLoader._order)."""
 
     def __init__(
         self,
@@ -39,31 +43,46 @@ class GrainLoader:
         seed=0,
         drop_last=True,
         num_workers=0,
-        num_epochs=None,
+        prefetch=2,  # accepted for HostLoader signature parity (grain
+        # prefetches via worker buffers; no-op in-process)
+        backend=None,  # ditto
     ):
         self.dataset = dataset
         self.batch_size = batch_size
-        source = pg.InMemoryDataSource(list(range(len(dataset))))
-        sampler = pg.IndexSampler(
-            num_records=len(dataset),
-            shuffle=shuffle,
-            seed=seed,
-            num_epochs=num_epochs or 1,
-            shard_options=pg.NoSharding(),
-        )
-        self._loader = pg.DataLoader(
-            data_source=source,
-            sampler=sampler,
-            operations=[
-                _DecodeSample(dataset, pad_hw),
-                pg.Batch(batch_size=batch_size, drop_remainder=drop_last),
-            ],
-            worker_count=num_workers,
-        )
+        self.pad_hw = pad_hw
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.epoch = 0
+        self._source = pg.InMemoryDataSource(list(range(len(dataset))))
 
     def __len__(self):
-        return len(self.dataset) // self.batch_size
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_loader(self, epoch):
+        sampler = pg.IndexSampler(
+            num_records=len(self.dataset),
+            shuffle=self.shuffle,
+            seed=self.seed + epoch,
+            num_epochs=1,
+            shard_options=pg.NoSharding(),
+        )
+        return pg.DataLoader(
+            data_source=self._source,
+            sampler=sampler,
+            operations=[
+                _DecodeSample(self.dataset, self.pad_hw),
+                pg.Batch(
+                    batch_size=self.batch_size, drop_remainder=self.drop_last
+                ),
+            ],
+            worker_count=self.num_workers,
+        )
 
     def __iter__(self):
-        for batch in self._loader:
+        loader = self._epoch_loader(self.epoch)
+        self.epoch += 1
+        for batch in loader:
             yield {k: np.asarray(v) for k, v in batch.items()}

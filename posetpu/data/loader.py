@@ -67,6 +67,32 @@ def _collate(items):
     return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
 
+def pad_batch(batch, size):
+    """Pad a (possibly ragged) batch to ``size`` rows and attach a ``mask``.
+
+    The final validation batch is generally smaller than the batch size and
+    not divisible by the device mesh (e.g. MPII's 2958 val images at batch
+    48 over 8 chips leave 30).  Padding repeats the last sample up to the
+    one static shape every eval step compiles for; the (size,) float mask
+    marks real rows, and the mask-aware eval step reduces with global
+    masked sums so padded rows contribute exactly nothing.  Callers trim
+    per-sample outputs (preds) back to the true count.
+    """
+    n = batch["image"].shape[0]
+    if n > size:
+        raise ValueError(f"batch of {n} larger than pad target {size}")
+    mask = np.zeros((size,), np.float32)
+    mask[:n] = 1.0
+    if n == size:
+        return {**batch, "mask": mask}
+    out = {
+        k: np.concatenate([v, np.repeat(v[-1:], size - n, axis=0)])
+        for k, v in batch.items()
+    }
+    out["mask"] = mask
+    return out
+
+
 class HostLoader:
     """Iterable over static-shape batches with background decode prefetch.
 

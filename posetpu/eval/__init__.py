@@ -6,6 +6,8 @@ from posetpu.eval.decode import (
     calc_dists,
     final_preds,
     get_preds,
+    pck_counts,
+    pck_from_counts,
     quarter_offset,
 )
 from posetpu.eval.pck import pck_lsp, pckh
@@ -16,6 +18,8 @@ __all__ = [
     "calc_dists",
     "final_preds",
     "get_preds",
+    "pck_counts",
+    "pck_from_counts",
     "quarter_offset",
     "pckh",
     "pck_lsp",

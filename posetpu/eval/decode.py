@@ -71,12 +71,12 @@ def calc_dists(preds, target, normalize):
     return jnp.where(valid, d, -1.0).T
 
 
-def accuracy(output, target, thr=0.5):
-    """Train-time PCK from heatmaps (oracle `accuracy`): distances between
-    argmax decodes of output and target, normalized by heatmap_size/10.
-
-    Returns (K+1,): [0] = mean over joints that have any valid target,
-    [1:] per-joint (-1 when a joint has no valid targets in the batch).
+def pck_counts(output, target, thr=0.5, sample_mask=None):
+    """Per-joint PCK (hit, total) counts — the reduction-friendly core of
+    :func:`accuracy`.  Under data parallelism psum these across shards and
+    THEN take the ratio: the global PCK is a ratio of global counts, not a
+    mean of per-shard ratios.  ``sample_mask`` (B,) zeroes padded samples
+    out of both counts (ragged final validation batches, SURVEY.md §3.3).
     """
     B, K, H, W = output.shape
     preds = get_preds(output)
@@ -84,11 +84,31 @@ def accuracy(output, target, thr=0.5):
     norm = jnp.full((B,), H / 10.0)
     dists = calc_dists(preds, gts, norm)  # (K, B)
     valid = dists != -1.0
+    if sample_mask is not None:
+        valid = valid & (sample_mask[None, :] > 0)
     cnt = valid.sum(axis=1)
     hit = ((dists < thr) & valid).sum(axis=1)
+    return hit, cnt
+
+
+def pck_from_counts(hit, cnt):
+    """(K,) hit/total counts -> the reference `accuracy` layout: (K+1,) with
+    [0] = mean over joints that have any valid target, [1:] per-joint
+    (-1 when a joint has no valid targets)."""
     per_joint = jnp.where(cnt > 0, hit / jnp.maximum(cnt, 1), -1.0)
     have = per_joint >= 0
     avg = jnp.where(
         have.sum() > 0, (per_joint * have).sum() / jnp.maximum(have.sum(), 1), 0.0
     )
     return jnp.concatenate([avg[None], per_joint])
+
+
+def accuracy(output, target, thr=0.5):
+    """Train-time PCK from heatmaps (oracle `accuracy`): distances between
+    argmax decodes of output and target, normalized by heatmap_size/10.
+
+    Returns (K+1,): [0] = mean over joints that have any valid target,
+    [1:] per-joint (-1 when a joint has no valid targets in the batch).
+    """
+    hit, cnt = pck_counts(output, target, thr)
+    return pck_from_counts(hit, cnt)

@@ -61,7 +61,9 @@ from posetpu.models.agent import (
     sample_occlusion_tree,
 )
 from posetpu.train.state import TrainState
-from posetpu.train.step import _augment
+from posetpu.train.step import _augment, per_sample_stacked_mse  # noqa: F401
+# (per_sample_stacked_mse re-exported here for back-compat; it moved to
+# train.step so the mask-aware eval step can share it without a cycle)
 
 
 @flax.struct.dataclass
@@ -107,16 +109,6 @@ def _augment_pair(batch, params_a, params_b, aug_cfg, mean, std, jitter_keys):
             [jnp.arange(B, dtype=jnp.int32)] * 2
         ),
     )
-
-
-def per_sample_stacked_mse(outputs, target_nhwc):
-    """Reference loss per sample: MSE over elements summed over stacks,
-    keeping the batch dim — the reward signal needs per-sample losses."""
-    loss = 0.0
-    for o in outputs:
-        err = (o.astype(jnp.float32) - target_nhwc) ** 2
-        loss = loss + jnp.mean(err, axis=(1, 2, 3))
-    return loss  # (B,)
 
 
 def apply_occlusion(images, node_idx, boxes):

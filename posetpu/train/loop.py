@@ -17,7 +17,13 @@ import numpy as np
 
 from posetpu.ckpt import CheckpointManager
 from posetpu.configs import ExperimentConfig
-from posetpu.data import HostLoader, LspDataset, MpiiDataset, make_synthetic_dataset
+from posetpu.data import (
+    HostLoader,
+    LspDataset,
+    MpiiDataset,
+    make_synthetic_dataset,
+    pad_batch,
+)
 from posetpu.eval import save_preds
 from posetpu.models import (
     AugAgent,
@@ -87,15 +93,33 @@ class Experiment:
         )
         self.model = hg(**mdl_kw)
 
-        self.loader = HostLoader(
-            self.train_ds, cfg.batch_size, pad_hw=tuple(cfg.pad_hw), seed=cfg.seed
+        if cfg.loader_backend == "grain":
+            from posetpu.data.grain_pipeline import GrainLoader
+
+            loader_cls = GrainLoader
+            loader_kw = dict(num_workers=cfg.loader_workers)
+        elif cfg.loader_backend == "host":
+            loader_cls = HostLoader
+            loader_kw = {}
+        else:
+            raise ValueError(
+                f"unknown loader_backend {cfg.loader_backend!r} "
+                "(expected 'host' or 'grain')"
+            )
+        self.loader = loader_cls(
+            self.train_ds,
+            cfg.batch_size,
+            pad_hw=tuple(cfg.pad_hw),
+            seed=cfg.seed,
+            **loader_kw,
         )
-        self.val_loader = HostLoader(
+        self.val_loader = loader_cls(
             self.val_ds,
             cfg.batch_size,
             pad_hw=tuple(cfg.pad_hw),
             shuffle=False,
             drop_last=False,
+            **loader_kw,
         )
         self.steps_per_epoch = cfg.steps_per_epoch or len(self.loader)
         self.tx = make_optimizer(cfg.optim, self.steps_per_epoch)
@@ -305,10 +329,16 @@ class Experiment:
         meters = {}
         all_preds = []
         for batch in self.val_loader:
+            # Every batch is padded to ONE static (mesh-divisible) shape:
+            # the ragged final batch runs under DP (SURVEY.md §3.3) and the
+            # eval program compiles exactly once.  Metrics are exact — the
+            # eval step masks padded rows out of its global reductions.
+            n = batch["image"].shape[0]
+            batch = pad_batch(batch, self.cfg.batch_size)
             metrics, preds = self.eval_step(self.state, batch)
             for k, v in metrics.items():
-                meters.setdefault(k, AverageMeter()).update(float(v))
-            all_preds.append(np.asarray(preds))
+                meters.setdefault(k, AverageMeter()).update(float(v), n=n)
+            all_preds.append(np.asarray(preds)[:n])
         out = {k: m.avg for k, m in meters.items()}
         preds = np.concatenate(all_preds) if all_preds else np.zeros((0, 0, 2))
         return out, preds
@@ -353,6 +383,11 @@ class Experiment:
                 f"| {tr['images_per_sec']:.1f} img/s"
                 + (f" | agent {tr.get('agent_loss', 0):+.4f}" if "agent_loss" in tr else "")
             )
+        # the reference leaves curve plots next to log.txt (SURVEY.md C11)
+        try:
+            self.logger.plot()
+        except Exception as e:  # plotting must never kill a finished run
+            progress(f"[posetpu] log plot failed: {e}")
         # saves are async — commit the final checkpoint before returning
         # (otherwise interpreter shutdown can strand the last epoch's write)
         self.ckpt.wait()

@@ -21,7 +21,7 @@ from posetpu.aug.pipeline import (
     per_sample_keys,
     sample_aug_params_ps,
 )
-from posetpu.eval.decode import accuracy, final_preds
+from posetpu.eval.decode import accuracy, final_preds, pck_counts, pck_from_counts
 from posetpu.train.state import TrainState
 
 
@@ -55,6 +55,17 @@ def stacked_mse(outputs, target_nhwc, weight=None):
             err = err * weight[:, None, None, :]
         loss = loss + jnp.mean(err)
     return loss
+
+
+def per_sample_stacked_mse(outputs, target_nhwc):
+    """Reference loss per sample: MSE over elements summed over stacks,
+    keeping the batch dim — for the adversarial reward signal and for
+    masked (ragged-batch) validation."""
+    loss = 0.0
+    for o in outputs:
+        err = (o.astype(jnp.float32) - target_nhwc) ** 2
+        loss = loss + jnp.mean(err, axis=(1, 2, 3))
+    return loss  # (B,)
 
 
 def make_train_step(
@@ -127,7 +138,13 @@ def make_train_step(
 
 def make_eval_step(model, aug_cfg, mean, std=None, axis_name=None):
     """Validation step (SURVEY.md §3.3): neutral crop, forward, train-time
-    PCK + full decode back to source coords for offline PCKh / preds.mat."""
+    PCK + full decode back to source coords for offline PCKh / preds.mat.
+
+    Mask-aware: a batch may carry ``mask`` (B,) marking padded rows (ragged
+    final val batch padded to a static, mesh-divisible shape — see
+    ``posetpu.data.loader.pad_batch``).  Metrics reduce with psum'd GLOBAL
+    sums/counts so padded rows contribute exactly nothing and the DP result
+    equals the single-device result on the unpadded samples."""
 
     def eval_step(state: TrainState, batch):
         B = batch["image"].shape[0]
@@ -138,11 +155,22 @@ def make_eval_step(model, aug_cfg, mean, std=None, axis_name=None):
             train=False,
         )
         scores = outs[-1].astype(jnp.float32).transpose(0, 3, 1, 2)
-        acc = accuracy(scores, aug["target"])[0]
-        loss = stacked_mse(outs, aug["target"].transpose(0, 2, 3, 1))
+        mask = batch.get("mask")
+        if mask is None:
+            mask = jnp.ones((B,), jnp.float32)
+        hit, cnt = pck_counts(scores, aug["target"], sample_mask=mask)
+        l_sample = per_sample_stacked_mse(
+            outs, aug["target"].transpose(0, 2, 3, 1)
+        )
+        loss_sum = jnp.sum(l_sample * mask)
+        n = jnp.sum(mask)
         if axis_name is not None:
-            acc = jax.lax.pmean(acc, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
+            hit = jax.lax.psum(hit, axis_name)
+            cnt = jax.lax.psum(cnt, axis_name)
+            loss_sum = jax.lax.psum(loss_sum, axis_name)
+            n = jax.lax.psum(n, axis_name)
+        loss = loss_sum / jnp.maximum(n, 1.0)
+        acc = pck_from_counts(hit, cnt)[0]
         preds = final_preds(
             scores, aug["center"], aug["scale"], tuple(aug_cfg.out_res)
         )

@@ -77,15 +77,42 @@ class TestTorchExport:
         # BN stats present under torch names
         assert any(kk.endswith("running_mean") for kk in sd)
         path = os.path.join(tmp_path, "checkpoint.pth.tar")
-        save_torch_checkpoint(path, state.params, state.batch_stats, 4, 0.9)
-        params, bstats, epoch, best = load_torch_checkpoint(
-            path, state.params, state.batch_stats
+        save_torch_checkpoint(
+            path, state.params, state.batch_stats, 4, 0.9,
+            opt_state=state.opt_state,
+        )
+        params, bstats, epoch, best, opt = load_torch_checkpoint(
+            path, state.params, state.batch_stats, state.opt_state
         )
         assert epoch == 4 and best == 0.9
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params)):
             np.testing.assert_allclose(
                 np.asarray(a, np.float32), np.asarray(b, np.float32), atol=0
             )
+        # optimizer state round-trips (reference container keeps `optimizer`,
+        # SURVEY.md C10) — same tree structure, bit-equal leaves
+        assert jax.tree_util.tree_structure(opt) == jax.tree_util.tree_structure(
+            state.opt_state
+        )
+        for a, b in zip(
+            jax.tree.leaves(state.opt_state), jax.tree.leaves(opt)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_container_has_reference_fields(self, tmp_path):
+        import torch
+
+        _, state = _state()
+        path = os.path.join(tmp_path, "checkpoint.pth.tar")
+        save_torch_checkpoint(
+            path, state.params, state.batch_stats, 1, 0.5,
+            opt_state=state.opt_state,
+        )
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+        assert set(blob) == {"epoch", "state_dict", "optimizer", "best_acc"}
+        assert len(blob["optimizer"]) == len(
+            jax.tree.leaves(state.opt_state)
+        )
 
 
 class TestLogger:

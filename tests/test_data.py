@@ -132,3 +132,52 @@ class TestHostLoader:
             small["image"][:100, :100],
             full["image"][oy : oy + 100, ox : ox + 100],
         )
+
+
+class TestGrainLoader:
+    """grain-backed alternative loader (SURVEY.md §2 C15): must honor the
+    exact HostLoader batch contract so the two backends are swappable."""
+
+    def _ds(self, synth_dir):
+        return MpiiDataset(
+            os.path.join(synth_dir, "annotations.json"),
+            os.path.join(synth_dir, "images"),
+            split="train",
+        )
+
+    def test_batch_contract_matches_hostloader(self, synth_dir):
+        from posetpu.data.grain_pipeline import GrainLoader
+
+        ds = self._ds(synth_dir)
+        host = list(HostLoader(ds, 4, pad_hw=(256, 384), shuffle=False, backend="pil"))
+        grain = list(GrainLoader(ds, 4, pad_hw=(256, 384), shuffle=False))
+        assert len(host) == len(grain) == 3
+        for hb, gb in zip(host, grain):
+            assert set(hb) == set(gb)
+            for k in hb:
+                assert hb[k].dtype == gb[k].dtype, k
+                np.testing.assert_array_equal(hb[k], gb[k], err_msg=k)
+
+    def test_multi_epoch_reshuffles(self, synth_dir):
+        from posetpu.data.grain_pipeline import GrainLoader
+
+        ds = self._ds(synth_dir)
+        loader = GrainLoader(ds, 4, pad_hw=(256, 384), seed=7)
+        e1 = [b["index"].tolist() for b in loader]
+        e2 = [b["index"].tolist() for b in loader]
+        assert len(e1) == len(e2) == 3  # second epoch actually yields
+        assert e1 != e2  # and with a fresh order
+        # deterministic across loaders with the same seed
+        l2 = GrainLoader(ds, 4, pad_hw=(256, 384), seed=7)
+        assert [b["index"].tolist() for b in l2] == e1
+
+    def test_ragged_final_batch(self, synth_dir):
+        from posetpu.data.grain_pipeline import GrainLoader
+
+        ds = self._ds(synth_dir)  # 12 train samples
+        loader = GrainLoader(
+            ds, 5, pad_hw=(256, 384), shuffle=False, drop_last=False
+        )
+        sizes = [b["image"].shape[0] for b in loader]
+        assert sizes == [5, 5, 2]
+        assert len(loader) == 3

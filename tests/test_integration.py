@@ -206,6 +206,32 @@ class TestGrainLoader:
             assert bg[k].dtype == bh[k].dtype, k
         np.testing.assert_array_equal(bg["image"], bh["image"])
 
+    def test_experiment_runs_on_grain_backend(self, synth, tmp_path):
+        """loader_backend='grain' is a drop-in Experiment backend
+        (SURVEY.md §2 C15 alternative input pipeline)."""
+        from posetpu.train.loop import Experiment
+
+        cfg = named_config("hg2_mpii_mini")
+        cfg.model.stacks = 1
+        cfg.model.feats = 8
+        cfg.aug.inp_res = (64, 64)
+        cfg.aug.out_res = (16, 16)
+        cfg.batch_size = 8
+        cfg.synthetic = False
+        cfg.annotations = (
+            synth.samples[0].img_path.rsplit("/images", 1)[0]
+            + "/annotations.json"
+        )
+        cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+        cfg.pad_hw = (256, 384)
+        cfg.optim.epochs = 2  # two epochs: proves grain re-iterates
+        cfg.steps_per_epoch = 1
+        cfg.checkpoint_dir = str(tmp_path)
+        cfg.loader_backend = "grain"
+        exp = Experiment(cfg)
+        state, best = exp.fit(progress=lambda *_: None)
+        assert np.isfinite(best)
+
 
 class TestPhase2Flow:
     def test_init_pose_from_checkpoint(self, synth, tmp_path):

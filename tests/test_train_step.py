@@ -154,6 +154,45 @@ class TestDataParallel:
                 np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
             )
 
+    def test_dp_eval_ragged_batch_matches_unpadded(self, synth):
+        """A final val batch that isn't mesh-divisible (12 over 8 devices)
+        is padded + masked; the DP metrics and preds must match the plain
+        single-device eval of the unpadded 12 samples (SURVEY.md §3.3)."""
+        from posetpu.data import pad_batch
+
+        cfg = _tiny_cfg()
+        tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+        x = jnp.zeros((1, 64, 64, 3))
+        model_1d = hg(num_stacks=1, num_feats=16, num_classes=16, dtype=jnp.float32)
+        variables = model_1d.init(jax.random.PRNGKey(0), x, train=True)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        full = next(iter(HostLoader(synth, 16, pad_hw=(256, 384), seed=5)))
+        ragged = {k: v[:12] for k, v in full.items()}
+
+        ev1 = jax.jit(make_eval_step(model_1d, cfg.aug, MEAN))
+        m1, p1 = ev1(state, ragged)
+
+        model_dp = hg(
+            num_stacks=1, num_feats=16, num_classes=16, axis_name="data",
+            dtype=jnp.float32,
+        )
+        ev8 = shard_eval_step(
+            make_eval_step(model_dp, cfg.aug, MEAN, axis_name="data"),
+            make_mesh(8),
+        )
+        m8, p8 = ev8(state, pad_batch(ragged, 16))
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(float(m1["acc"]), float(m8["acc"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p8)[:12], atol=1e-4
+        )
+
     def test_dp_eval_gathers_preds(self, synth):
         cfg = _tiny_cfg()
         mesh = make_mesh(8)
