@@ -91,6 +91,95 @@ def run_bench(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256):
     return batch / statistics.median(times)
 
 
+def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256):
+    """Full adversarial (ASR) minimax step throughput — the flagship
+    feature.  Uses the single-chip production path (the split-program
+    variant, proven equivalent to the fused one by tests); device-resident
+    batch, blocked timing like run_bench."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from posetpu.configs import named_config
+    from posetpu.models import (
+        AugAgent,
+        hg,
+        rotation_bin_table,
+        scale_bin_table,
+    )
+    from posetpu.train import JointState, TrainState
+    from posetpu.train.adversarial import make_joint_step_split
+    from posetpu.train.state import make_optimizer
+
+    cfg = named_config("hg8_mpii_asr")
+    cfg.aug.inp_res = (res, res)
+    cfg.aug.out_res = (res // 4, res // 4)
+    model = hg(num_stacks=stacks, num_blocks=1, num_classes=16, num_feats=feats)
+    agent = AugAgent(
+        num_scale_bins=cfg.agent.scale_bins,
+        num_rot_bins=cfg.agent.rot_bins,
+        input_downscale=cfg.agent.input_downscale,
+    )
+    tx = make_optimizer(cfg.optim, 1000)
+    atx = make_optimizer(cfg.optim, 1000)
+    x = jnp.zeros((1, res, res, 3))
+    pv = model.init(jax.random.PRNGKey(0), x, train=True)
+    av = agent.init(jax.random.PRNGKey(1), x, train=True)
+    state = JointState(
+        pose=TrainState(
+            params=pv["params"],
+            batch_stats=pv["batch_stats"],
+            opt_state=tx.init(pv["params"]),
+            step=jnp.zeros((), jnp.int32),
+        ),
+        agent=TrainState(
+            params=av["params"],
+            batch_stats=av["batch_stats"],
+            opt_state=atx.init(av["params"]),
+            step=jnp.zeros((), jnp.int32),
+        ),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = make_joint_step_split(
+        model, agent, tx, atx, cfg.aug, (0.44, 0.44, 0.43),
+        scale_table=scale_bin_table(cfg.agent.scale_bins),
+        rot_table=rotation_bin_table(
+            cfg.agent.rot_bins, -cfg.aug.rot_factor, cfg.aug.rot_factor
+        ),
+    )
+
+    rng = np.random.RandomState(0)
+    pad = res + res // 4
+    batch_data = {
+        "image": (rng.rand(batch, pad, pad, 3) * 255).astype(np.uint8),
+        "valid_wh": np.tile(np.array([[pad, pad]], np.int32), (batch, 1)),
+        "center": np.tile(
+            np.array([[pad / 2 + 0.3, pad / 2 + 0.2]], np.float32), (batch, 1)
+        ),
+        "scale": np.full((batch,), pad / 250.0, np.float32),
+        "pts": (rng.rand(batch, 16, 2) * pad * 0.6 + pad * 0.2).astype(np.float32),
+        "vis": np.ones((batch, 16), np.float32),
+        "index": np.arange(batch, dtype=np.int32),
+    }
+    batch_dev = jax.device_put(batch_data)
+
+    key = jax.random.PRNGKey(0)
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        state, m = step(state, batch_dev, sub)
+    jax.block_until_ready(m)
+    times = []
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, m = step(state, batch_dev, sub)
+        jax.block_until_ready(m)
+        times.append(time.perf_counter() - t0)
+    import statistics
+
+    return batch / statistics.median(times)
+
+
 def run_bench_loader(
     batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256,
     backend="host", workers=0,
@@ -175,6 +264,10 @@ def main():
         "device-resident step (decode included)",
     )
     ap.add_argument("--loader-workers", type=int, default=0)
+    ap.add_argument(
+        "--joint", action="store_true",
+        help="benchmark the full adversarial (ASR) minimax step",
+    )
     args = ap.parse_args()
 
     if args.quick:
@@ -195,6 +288,9 @@ def main():
         kw["workers"] = args.loader_workers
         ips = run_bench_loader(**kw)
         metric = f"images/sec/chip (loader-fed end-to-end, {args.loader})"
+    elif args.joint:
+        ips = run_bench_joint(**kw)
+        metric = "images/sec/chip (joint adversarial minimax step)"
     else:
         try:
             ips = run_bench(**kw)

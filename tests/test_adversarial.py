@@ -296,6 +296,7 @@ class TestUpdateCadence:
         assert int(state.pose.step) == 4
 
 
+@pytest.mark.slow
 class TestRewardSign:
     def test_reinforce_direction(self):
         """A bin forced to yield higher loss must gain probability mass

@@ -175,6 +175,7 @@ class TestAugmentBatch:
         vis = jnp.ones((B, K))
         return images, valid_wh, center, scale, pts, vis
 
+    @pytest.mark.slow
     def test_neutral_shapes_and_vals(self):
         images, valid_wh, center, scale, pts, vis = self._sample()
         out = augment_batch(
@@ -192,6 +193,7 @@ class TestAugmentBatch:
         assert inside.sum() > 20  # the sample must exercise the common case
         np.testing.assert_allclose(peaks[inside], 1.0, atol=1e-6)
 
+    @pytest.mark.slow
     def test_neutral_matches_oracle_end_to_end(self):
         images, valid_wh, center, scale, pts, vis = self._sample(B=1)
         out = augment_batch(

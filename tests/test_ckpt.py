@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from posetpu.ckpt import (
     CheckpointManager,
@@ -32,6 +33,7 @@ def _state(seed=0, feats=8):
 
 
 class TestOrbaxRoundTrip:
+    @pytest.mark.slow
     def test_bitwise_roundtrip(self, tmp_path):
         _, state = _state()
         mgr = CheckpointManager(str(tmp_path))
@@ -49,6 +51,7 @@ class TestOrbaxRoundTrip:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_best_copy_and_gc(self, tmp_path):
         _, state = _state()
         mgr = CheckpointManager(str(tmp_path), max_to_keep=2)

@@ -1,6 +1,7 @@
 """Device decode/PCK parity vs the numpy oracles (SURVEY.md §4.1)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from posetpu.eval import accuracy, final_preds, get_preds, quarter_offset
@@ -41,6 +42,7 @@ class TestDecodeParity:
         np.testing.assert_array_equal(out[0, 1], [0, 0])
         np.testing.assert_array_equal(out[0, 0], [10, 6])
 
+    @pytest.mark.slow
     def test_final_preds_matches_oracle(self):
         rng = np.random.RandomState(1)
         peaks = rng.randint(3, 60, size=(3, 16, 2)).tolist()

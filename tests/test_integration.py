@@ -48,6 +48,7 @@ class ZeroPose(nn.Module):
         return [out]
 
 
+@pytest.mark.slow
 class TestAgentLearnsHardBins:
     def test_mass_shifts_to_hardest_scale_bin(self, synth):
         cfg = named_config("hg2_mpii_mini")
@@ -164,6 +165,7 @@ class TestNamedConfigs:
             assert cfg.name == name
             assert cfg.model.stacks >= 1
 
+    @pytest.mark.slow
     def test_config5_dp8_end_to_end(self, synth, tmp_path):
         """Config 5 shape (384² + agent + 8-device DP), scaled tiny."""
         from posetpu.train.loop import Experiment
@@ -206,6 +208,7 @@ class TestGrainLoader:
             assert bg[k].dtype == bh[k].dtype, k
         np.testing.assert_array_equal(bg["image"], bh["image"])
 
+    @pytest.mark.slow
     def test_experiment_runs_on_grain_backend(self, synth, tmp_path):
         """loader_backend='grain' is a drop-in Experiment backend
         (SURVEY.md §2 C15 alternative input pipeline)."""
@@ -233,6 +236,7 @@ class TestGrainLoader:
         assert np.isfinite(best)
 
 
+@pytest.mark.slow
 class TestPhase2Flow:
     def test_init_pose_from_checkpoint(self, synth, tmp_path):
         """Reference phase-2: joint training starts from a phase-1 pose

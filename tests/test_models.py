@@ -24,6 +24,7 @@ def _init(model, shape=(2, 64, 64, 3), train=False):
     return variables, x
 
 
+@pytest.mark.slow
 class TestHourglassNet:
     def test_output_shapes_per_stack(self):
         model = hg(num_stacks=2, num_blocks=1, num_classes=16, num_feats=32)
@@ -110,6 +111,7 @@ class TestHourglassNet:
 
 
 class TestAgent:
+    @pytest.mark.slow
     def test_heads_and_shapes(self):
         agent = AugAgent(
             num_scale_bins=7, num_rot_bins=5, num_occ_nodes=21, occ_mode="flat"
@@ -141,6 +143,7 @@ class TestAgent:
         )
         assert "occ" not in out
 
+    @pytest.mark.slow
     def test_tree_head_node_count_validated(self):
         agent = AugAgent(
             num_occ_nodes=21, occ_mode="tree", occ_levels=(1, 2, 4)
@@ -197,6 +200,7 @@ class TestTreeSampling:
             ),
         }
 
+    @pytest.mark.slow
     def test_logp_matches_manual_chain_rule(self):
         from posetpu.models import occlusion_tree_logp, sample_occlusion_tree
         from posetpu.aug import per_sample_keys
@@ -221,6 +225,7 @@ class TestTreeSampling:
         logp2 = occlusion_tree_logp(lg["level"], lg["cells"], lvl, cell)
         np.testing.assert_allclose(np.asarray(logp2), np.asarray(logp), rtol=1e-5)
 
+    @pytest.mark.slow
     def test_node_indices_match_hierarchy_layout(self):
         from posetpu.models import sample_occlusion_tree
         from posetpu.aug import per_sample_keys
@@ -240,6 +245,7 @@ class TestTreeSampling:
         assert set(node[lvl == 2]) <= {2, 3, 4, 5}
         np.testing.assert_array_equal(node[lvl == 2] - 2, cell[lvl == 2])
 
+    @pytest.mark.slow
     def test_per_sample_sampling_is_shard_invariant(self):
         """sample_bins_ps depends only on (key_i, logits_i): any slicing of
         the batch reproduces the same draws — the DP-equivalence property."""
@@ -259,6 +265,7 @@ class TestTreeSampling:
         np.testing.assert_array_equal(np.asarray(full), np.asarray(halves))
 
 
+@pytest.mark.slow
 class TestScanStacks:
     def test_scan_matches_interface_and_learns_shape(self):
         m = hg(num_stacks=3, num_feats=16, num_classes=8, scan_stacks=True)

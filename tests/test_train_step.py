@@ -68,6 +68,7 @@ MEAN = (0.2, 0.2, 0.2)
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases(self, synth):
         cfg = _tiny_cfg()
         model, tx, state = _setup(cfg)
@@ -83,6 +84,7 @@ class TestTrainStep:
         assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
         assert int(state.step) == len(losses)
 
+    @pytest.mark.slow
     def test_eval_step_shapes(self, synth):
         cfg = _tiny_cfg()
         model, tx, state = _setup(cfg)
@@ -94,6 +96,7 @@ class TestTrainStep:
         assert 0.0 <= float(metrics["acc"]) <= 1.0
 
 
+@pytest.mark.slow
 class TestDataParallel:
     def test_dp_equals_single_device(self, synth):
         # deterministic aug so the only difference is the sharding
