@@ -5,9 +5,9 @@ Two tools:
   * :func:`trace` — context manager around ``jax.profiler`` writing a
     TensorBoard-loadable trace directory.
   * :func:`measure_duty_cycle` — estimates the device-busy fraction of a
-    steady-state training loop: device-only step time (every step blocked,
-    batch resident on device) over pipelined wall time per step (real
-    loader + async dispatch).  duty = t_device / t_wall.
+    steady-state training loop: device-only step time (K steps fused into
+    one program, batch resident on device, real value fetch) over pipelined
+    wall time per step (real loader + async dispatch).  duty = t_dev/t_wall.
 """
 
 from __future__ import annotations
@@ -27,19 +27,41 @@ def trace(logdir):
         jax.profiler.stop_trace()
 
 
-def time_device_step(step_fn, state, batch, key, steps=10, warmup=2):
-    """Average per-step device time with the batch resident on device and
-    every step blocked (no input pipeline, no overlap)."""
+def _metric_scalar(m):
+    """One scalar leaf of the step metrics — fetching its VALUE to host is
+    the only reliable synchronization on this environment's tunneled TPU
+    (jax.block_until_ready has been observed to return before the device
+    finishes; see BASELINE.md round-2 timing methodology)."""
+    if isinstance(m, dict) and "loss" in m:
+        return m["loss"]
+    return jax.tree.leaves(m)[0]
+
+
+def time_device_step(step_fn, state, batch, key, steps=10, warmup=1):
+    """Average per-step DEVICE time: ``steps`` train steps fused into ONE
+    ``lax.scan`` program (single dispatch), ended by a real device->host
+    value fetch.  Per-dispatch timing on this 1-core host pays ~100 ms of
+    relay overhead per step and block_until_ready cannot be trusted, so
+    the fused-program form is the honest device-only number."""
     batch = jax.device_put(batch)
-    for _ in range(warmup):
-        key, sub = jax.random.split(key)
-        state, m = step_fn(state, batch, sub)
-    jax.block_until_ready(m)
+
+    @jax.jit
+    def run_k(state, batch, key):
+        def body(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, m = step_fn(st, batch, sub)
+            return (st, k), _metric_scalar(m)
+
+        (state, _), ms = jax.lax.scan(body, (state, key), None, length=steps)
+        return state, ms[-1]
+
+    for w in range(warmup):
+        state, m = run_k(state, batch, jax.random.fold_in(key, w))
+        float(m)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        key, sub = jax.random.split(key)
-        state, m = step_fn(state, batch, sub)
-    jax.block_until_ready(m)
+    state, m = run_k(state, batch, jax.random.fold_in(key, 1 + warmup))
+    float(m)
     return (time.perf_counter() - t0) / steps, state
 
 
@@ -58,6 +80,6 @@ def measure_duty_cycle(step_fn, state, loader, key, max_steps=30):
         key, sub = jax.random.split(key)
         state, m = step_fn(state, batch, sub)
         n += 1
-    jax.block_until_ready(m)
+    float(_metric_scalar(m))  # real sync: the state chain forces every step
     t_wall = (time.perf_counter() - t0) / max(n, 1)
     return min(t_dev / t_wall, 1.0), t_dev, t_wall
