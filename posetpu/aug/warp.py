@@ -4,12 +4,15 @@ SURVEY.md §2 C3 and the native-equivalents table in §2: "Pallas TPU kernel
 (or fused XLA gather+bilinear): batched inverse-affine bilinear warp, on
 device").
 
-This is the fused-XLA formulation: four clamped gathers + a lerp, vectorized
-over (B, H_out, W_out, C).  It matches :func:`posetpu.oracles.transforms.crop`
-bit-for-bit on the same float math.  The warp deliberately stays on XLA's
-native gather rather than Pallas — Mosaic has no vector gather primitive and
-the warp is a small fraction of the step; see docs/design.md §3 and
-:mod:`posetpu.aug.pallas_kernels` (which hosts the Pallas rasterizer).
+This is the fused-XLA formulation: ONE patch-table gather + a masked lerp,
+vectorized over (B, H_out, W_out, C).  It matches
+:func:`posetpu.oracles.transforms.crop` bit-for-bit on the same float math.
+The warp stays on XLA's native gather rather than Pallas — Mosaic has no
+vector gather primitive — but the formulation is tuned for how TPU gathers
+actually cost (per-row, payload-width-insensitive): all four bilinear
+corners ride one 12-byte-row gather over a shifted-concat 2x2-patch table
+instead of four 3-byte gathers (round-2 profile: the four-gather form was
+~70% of the train step; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -72,43 +75,71 @@ def affine_warp(images, t, out_res, valid_wh=None, src_index=None):
         vw = jnp.full((N, 1, 1), W, jnp.int32)
         vh = jnp.full((N, 1, 1), H, jnp.int32)
 
-    # Flat row-gather formulation: a single (B*H*W, C) table indexed by
-    # b*H*W + y*W + x.  The batched take_along_axis form made XLA:TPU
-    # materialize transposed copies of the (B, H*W, C) operand in larger
-    # programs (profiled: dominant copy-start/copy-done pairs in the joint
-    # step); plain row gather keeps the operand in its natural layout.
+    # SINGLE-GATHER patch formulation (round-2 profiling: with four separate
+    # corner gathers of a (B*H*W, 3) u8 table, the warp was ~70% of the
+    # whole 8-stack train step — TPU gather cost is per-ROW, and a 3-byte
+    # payload wastes the lanes; four gathers also meant four s32 index
+    # arrays and four mask copies staged through alternate memory.
     #
-    # uint8 sources are gathered AS uint8 (4x smaller operand — the copies
-    # above were the f32-converted source) and scaled to [0,1] after the
-    # gather; scaling commutes with the bilinear lerp, so this is exact.
+    # Instead, build a shifted-concat PATCH table T[b, y', x'] = the 2x2
+    # pixel patch whose top-left corner is (y'-1, x'-1) of the zero-padded
+    # image — pure strided slices, full HBM bandwidth — and fetch all four
+    # bilinear corners with ONE 12-byte-row gather + one index array.
+    #
+    # Correctness at the borders: each corner is masked by its OWN true
+    # coordinate's validity (vs the sample's valid_wh), and the base index
+    # is clamped to [-1, H-1]/[-1, W-1].  Whenever a corner is valid its
+    # clamped base equals its true base (corner valid => y0 in [-1, vh-2]),
+    # so valid corners always read their exact pixel; invalid corners read
+    # padding or a clamped neighbor and are zeroed by the mask — identical
+    # numerics to independently clamped per-corner gathers.
+    #
+    # uint8 sources are gathered AS uint8 (4x smaller rows) and scaled to
+    # [0,1] after the gather; scaling commutes with the bilinear lerp.
     post_scale = None
     if images.dtype == jnp.uint8:
         post_scale = jnp.float32(1.0 / 255.0)
-    flat = images.reshape(B * H * W, C)
+    padded = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    T = jnp.concatenate(
+        [
+            padded[:, :-1, :-1],  # corner (y0,   x0)
+            padded[:, :-1, 1:],   # corner (y0,   x0+1)
+            padded[:, 1:, :-1],   # corner (y0+1, x0)
+            padded[:, 1:, 1:],    # corner (y0+1, x0+1)
+        ],
+        axis=-1,
+    )  # (B, H+1, W+1, 4C)
+    Ht, Wt = H + 1, W + 1
+    flat = T.reshape(B * Ht * Wt, 4 * C)
     if src_index is None:
         src = jnp.arange(N, dtype=jnp.int32)
     else:
         src = jnp.asarray(src_index, jnp.int32)
-    boff = (src * (H * W))[:, None, None]
+    boff = (src * (Ht * Wt))[:, None, None]
+    yc = jnp.clip(y0, -1, H - 1) + 1
+    xc = jnp.clip(x0, -1, W - 1) + 1
+    idx = (boff + yc * Wt + xc).reshape(N * Ho * Wo)
+    patch = jnp.take(flat, idx, axis=0).reshape(N, Ho, Wo, 4, C)
+    patch = patch.astype(jnp.float32)
+    if post_scale is not None:
+        patch = patch * post_scale
 
-    def gather(yy, xx):
-        valid = (yy >= 0) & (yy < vh) & (xx >= 0) & (xx < vw)
-        yc = jnp.clip(yy, 0, H - 1)
-        xc = jnp.clip(xx, 0, W - 1)
-        idx = (boff + yc * W + xc).reshape(N * Ho * Wo)
-        vals = jnp.take(flat, idx, axis=0).reshape(N, Ho, Wo, C)
-        vals = vals.astype(jnp.float32)
-        if post_scale is not None:
-            vals = vals * post_scale
-        return vals * valid[..., None]
+    def m(yy, xx):
+        return ((yy >= 0) & (yy < vh) & (xx >= 0) & (xx < vw)).astype(
+            jnp.float32
+        )
 
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x0 + 1)
-    v10 = gather(y0 + 1, x0)
-    v11 = gather(y0 + 1, x0 + 1)
-    return (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
+    wx0, wx1 = (1 - fx)[..., 0], fx[..., 0]
+    wy0, wy1 = (1 - fy)[..., 0], fy[..., 0]
+    weights = jnp.stack(
+        [
+            m(y0, x0) * wx0 * wy0,
+            m(y0, x0 + 1) * wx1 * wy0,
+            m(y0 + 1, x0) * wx0 * wy1,
+            m(y0 + 1, x0 + 1) * wx1 * wy1,
+        ],
+        axis=-1,
+    )  # (N, Ho, Wo, 4)
+    return jnp.einsum(
+        "nhwk,nhwkc->nhwc", weights, patch
     ).astype(jnp.float32)
