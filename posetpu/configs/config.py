@@ -56,11 +56,14 @@ class AgentConfig:
     enabled: bool = False
     scale_bins: int = 7
     rot_bins: int = 7
-    occ_nodes: int = 0  # >0 enables AHO head (1 + sum g^2 over levels)
+    occ_nodes: int = 0  # >0 enables AHO head (1 + sum g^2 over levels;
+    # in parts mode 1 + sum(part_level_sizes) = 9)
     occ_levels: Sequence[int] = (1, 2, 4)
     # "tree": sample level then cell, logp summed along the path (the
-    # reference's hierarchical organization, SURVEY.md C13); "flat": one
-    # categorical over all nodes.
+    # reference's hierarchical organization, SURVEY.md C13) over the
+    # coarse->fine spatial grid; "parts": same tree sampling over the
+    # body-part hierarchy (occluder boxes follow each sample's keypoints);
+    # "flat": one categorical over all nodes.
     occ_mode: str = "tree"
     # Agent sees the crop avg-pooled by this factor.  2 is the default for a
     # measured reason: a full-res agent stem (tiny-channel conv at 256²)
@@ -179,6 +182,9 @@ _FLAGS = {
     "--seed": ("seed", int),
     "--steps-per-epoch": ("steps_per_epoch", int),
     "--num-devices": ("num_devices", int),
+    "--occ-mode": ("agent.occ_mode", str),  # tree | parts | flat (C13)
+    "--occ-nodes": ("agent.occ_nodes", int),
+    "--agent-update-every": ("agent.update_every", int),
     "--loader-backend": ("loader_backend", str),
     "--loader-workers": ("loader_workers", int),
 }

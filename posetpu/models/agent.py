@@ -60,11 +60,84 @@ def occlusion_hierarchy(res=(256, 256), levels=(1, 2, 4)):
 def occ_level_offsets(levels):
     """Start index of each level's cells in the flat node layout of
     :func:`occlusion_hierarchy` (node 0 is "no occlusion")."""
+    return _offsets_from_sizes([g * g for g in levels])
+
+
+def _offsets_from_sizes(sizes):
+    """Start index of each level's cells in a flat node layout where node 0
+    is "no occlusion" and levels of ``sizes[i]`` cells follow in order."""
     offs, n = [], 1
-    for g in levels:
+    for s in sizes:
         offs.append(n)
-        n += g * g
+        n += s
     return np.asarray(offs, np.int32)
+
+
+# --- body-part hierarchy (SURVEY.md C13: "spatial/body-part hierarchy") ---
+#
+# Joint groupings in the bearpaw index conventions the datasets use
+# (posetpu.oracles.transforms.FLIP_PAIRS): MPII 16 joints (0 r-ankle ..
+# 9 head-top, 10-15 arms), LSP 14 joints (0-5 legs, 6-11 arms, 12 neck,
+# 13 head-top).  Levels are coarse -> fine: [upper body, lower body] then
+# [head, torso, r-arm, l-arm, r-leg, l-leg].
+PART_GROUPS = {
+    "mpii": (
+        ((6, 7, 8, 9, 10, 11, 12, 13, 14, 15), (0, 1, 2, 3, 4, 5)),
+        ((8, 9), (2, 3, 6, 7, 12, 13), (10, 11, 12), (13, 14, 15),
+         (0, 1, 2), (3, 4, 5)),
+    ),
+    "lsp": (
+        ((6, 7, 8, 9, 10, 11, 12, 13), (0, 1, 2, 3, 4, 5)),
+        ((12, 13), (2, 3, 8, 9), (6, 7, 8), (9, 10, 11),
+         (0, 1, 2), (3, 4, 5)),
+    ),
+}
+
+
+def part_level_sizes(dataset="mpii"):
+    """Cells per level of the body-part hierarchy (e.g. (2, 6))."""
+    return tuple(len(level) for level in PART_GROUPS[dataset])
+
+
+def part_occlusion_boxes(pts, vis, dataset="mpii", margin=0.15, min_px=8):
+    """PER-SAMPLE occluder boxes derived from the sample's own keypoints —
+    the body-part variant of :func:`occlusion_hierarchy` (SURVEY.md C13).
+
+    pts: (B, K, 2) keypoints in CROP pixel coords (x, y); vis: (B, K)
+    visibility.  Returns (B, N, 4) int32 (y0, x0, h, w): node 0 is "no
+    occlusion", then each level's part boxes in :data:`PART_GROUPS` order.
+    A part's box is the bbox of its visible joints expanded by ``margin``
+    of its larger side plus ``min_px``; a part with no visible joint gets
+    a zero box (occluding it is a no-op, like node 0).
+
+    Fully vectorized (static group lists, jnp reductions) — runs inside the
+    jitted joint step, so adversarial occluders follow the person instead
+    of a fixed image grid.
+    """
+    pts = jnp.asarray(pts, jnp.float32)
+    v = jnp.asarray(vis, jnp.float32) > 0
+    B = pts.shape[0]
+    boxes = [jnp.zeros((B, 4), jnp.float32)]
+    big = jnp.float32(1e9)
+    for level in PART_GROUPS[dataset]:
+        for group in level:
+            g = jnp.asarray(group, jnp.int32)
+            p = pts[:, g, :]  # (B, |g|, 2)
+            m = v[:, g]  # (B, |g|)
+            any_vis = jnp.any(m, axis=1)
+            x = p[..., 0]
+            y = p[..., 1]
+            x0 = jnp.min(jnp.where(m, x, big), axis=1)
+            x1 = jnp.max(jnp.where(m, x, -big), axis=1)
+            y0 = jnp.min(jnp.where(m, y, big), axis=1)
+            y1 = jnp.max(jnp.where(m, y, -big), axis=1)
+            pad = margin * jnp.maximum(x1 - x0, y1 - y0) + min_px
+            box = jnp.stack(
+                [y0 - pad, x0 - pad, (y1 - y0) + 2 * pad, (x1 - x0) + 2 * pad],
+                axis=-1,
+            )
+            boxes.append(jnp.where(any_vis[:, None], box, 0.0))
+    return jnp.stack(boxes, axis=1).astype(jnp.int32)  # (B, N, 4)
 
 
 class AugAgent(nn.Module):
@@ -79,10 +152,13 @@ class AugAgent(nn.Module):
     num_rot_bins: int = 7
     num_occ_nodes: int = 0  # 0 disables the AHO head(s)
     # AHO head organization (SURVEY.md C13): "tree" emits a level head plus
-    # per-level cell heads and samples coarse->fine (the reference's
-    # hierarchical organization); "flat" is one categorical over all nodes.
+    # per-level cell heads over the coarse->fine SPATIAL grid and samples
+    # level-then-cell; "parts" is the same tree sampling over the BODY-PART
+    # hierarchy (PART_GROUPS — occluder boxes follow the sample's own
+    # keypoints); "flat" is one categorical over all nodes.
     occ_mode: str = "tree"
     occ_levels: Sequence[int] = (1, 2, 4)
+    occ_dataset: str = "mpii"  # parts mode: which PART_GROUPS table
     widths: Sequence[int] = (32, 64, 128, 256)
     input_downscale: int = 1  # avg-pool the crop before the stem (2 or 4:
     # bin prediction needs coarse context, not pixels — cuts agent cost 4x/16x)
@@ -123,21 +199,29 @@ class AugAgent(nn.Module):
             "rot": nn.Dense(self.num_rot_bins, dtype=jnp.float32, name="head_rot")(x),
         }
         if self.num_occ_nodes > 0:
-            if self.occ_mode == "tree":
-                levels = tuple(self.occ_levels)
-                expect = 1 + sum(g * g for g in levels)
+            if self.occ_mode in ("tree", "parts"):
+                if self.occ_mode == "tree":
+                    levels = tuple(self.occ_levels)
+                    sizes = [g * g for g in levels]
+                    names = [f"head_occ_cell{g}" for g in levels]
+                    what = f"occ_levels={levels}"
+                else:
+                    sizes = list(part_level_sizes(self.occ_dataset))
+                    names = [f"head_occ_part{i}" for i in range(len(sizes))]
+                    what = f"PART_GROUPS[{self.occ_dataset!r}]"
+                expect = 1 + sum(sizes)
                 if self.num_occ_nodes != expect:
                     raise ValueError(
                         f"num_occ_nodes={self.num_occ_nodes} does not match "
-                        f"occ_levels={levels} (expected {expect})"
+                        f"{what} (expected {expect})"
                     )
                 # level head: [none, level_0, level_1, ...]
                 out["occ_level"] = nn.Dense(
-                    len(levels) + 1, dtype=jnp.float32, name="head_occ_level"
+                    len(sizes) + 1, dtype=jnp.float32, name="head_occ_level"
                 )(x)
                 out["occ_cells"] = tuple(
-                    nn.Dense(g * g, dtype=jnp.float32, name=f"head_occ_cell{g}")(x)
-                    for g in levels
+                    nn.Dense(s, dtype=jnp.float32, name=n)(x)
+                    for s, n in zip(sizes, names)
                 )
             elif self.occ_mode == "flat":
                 out["occ"] = nn.Dense(
@@ -170,14 +254,17 @@ def sample_bins_ps(keys, logits):
     return idx, sel
 
 
-def sample_occlusion_tree(keys, level_logits, cell_logits, levels):
+def sample_occlusion_tree(keys, level_logits, cell_logits, levels=None):
     """Tree-structured AHO sampling (SURVEY.md C13): sample the hierarchy
     level (including "none"), then the cell within that level; the policy
     log-prob is the sum along the path.
 
     keys: (B,) per-sample PRNG keys; level_logits: (B, L+1) with column 0 =
-    "no occlusion"; cell_logits: tuple of L arrays (B, g*g); levels: static
-    grid sizes, matching :func:`occlusion_hierarchy`.
+    "no occlusion"; cell_logits: tuple of L arrays (B, n_i) — one per
+    hierarchy level, grid (n_i = g^2, :func:`occlusion_hierarchy`) or
+    body-part (n_i = parts, :data:`PART_GROUPS`).  The flat node layout is
+    inferred from the cell head widths; ``levels`` is accepted for
+    backward compatibility and ignored.
 
     Returns (node, lvl, cell, logp), all (B,): ``node`` is the flat index
     into the hierarchy's box table; ``(lvl, cell)`` is the sampled path
@@ -186,7 +273,7 @@ def sample_occlusion_tree(keys, level_logits, cell_logits, levels):
     Compiler-friendly: a cell is drawn at every level and the sampled
     level's draw is selected — no data-dependent control flow.
     """
-    levels = tuple(levels)
+    del levels  # layout comes from the cell head widths
     k_lvl = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
     lvl, logp_lvl = sample_bins_ps(k_lvl, level_logits)  # 0 = none
 
@@ -198,7 +285,9 @@ def sample_occlusion_tree(keys, level_logits, cell_logits, levels):
         logps.append(lp)
     cells = jnp.stack(cells, axis=1)  # (B, L)
     logps = jnp.stack(logps, axis=1)
-    offsets = jnp.asarray(occ_level_offsets(levels))
+    offsets = jnp.asarray(
+        _offsets_from_sizes([cl.shape[1] for cl in cell_logits])
+    )
 
     b = jnp.arange(keys.shape[0])
     li = jnp.maximum(lvl - 1, 0)  # level index into the stacked draws

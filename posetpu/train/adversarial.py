@@ -57,6 +57,7 @@ from posetpu.aug.pipeline import (
 from posetpu.eval.decode import accuracy
 from posetpu.models.agent import (
     occlusion_tree_logp,
+    part_occlusion_boxes,
     sample_bins_ps,
     sample_occlusion_tree,
 )
@@ -116,10 +117,18 @@ def apply_occlusion(images, node_idx, boxes):
 
     images: (B, H, W, C) normalized crops; node_idx: (B,) into ``boxes``
     (node 0 = no occlusion, box (0,0,0,0)); boxes: (N, 4) static
-    (y0, x0, h, w).  Zero is the dataset mean after normalization.
+    (y0, x0, h, w) grid boxes, or (B, N, 4) per-sample boxes (body-part
+    mode, :func:`posetpu.models.agent.part_occlusion_boxes`).  Zero is the
+    dataset mean after normalization.
     """
     B, H, W, _ = images.shape
-    box = jnp.asarray(boxes)[node_idx]  # (B, 4)
+    boxes = jnp.asarray(boxes)
+    if boxes.ndim == 3:  # per-sample box tables
+        box = jnp.take_along_axis(
+            boxes, node_idx[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]  # (B, 4)
+    else:
+        box = boxes[node_idx]  # (B, 4)
     y0 = box[:, 0][:, None, None]
     x0 = box[:, 1][:, None, None]
     h = box[:, 2][:, None, None]
@@ -128,6 +137,21 @@ def apply_occlusion(images, node_idx, boxes):
     xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
     inside = (ys >= y0) & (ys < y0 + h) & (xs >= x0) & (xs < x0 + w)
     return jnp.where(inside[..., None], 0.0, images)
+
+
+def _occ_box_table(occ, occ_boxes, tpts, target_weight, aug_cfg):
+    """Resolve the box table for :func:`apply_occlusion`: the static grid
+    (tree/flat modes) or per-sample body-part boxes derived from the
+    adversarial crop's own keypoints (parts mode).  ``tpts`` are the aug's
+    1-indexed heatmap-resolution keypoints; the crop-resolution coords are
+    an exact linear rescale (make_transform is linear in the output res).
+    """
+    if occ["mode"] != "parts":
+        return occ_boxes
+    ry = aug_cfg.inp_res[0] / aug_cfg.out_res[0]
+    rx = aug_cfg.inp_res[1] / aug_cfg.out_res[1]
+    pts_inp = (tpts - 1.0) * jnp.asarray([rx, ry], jnp.float32)
+    return part_occlusion_boxes(pts_inp, target_weight, occ["dataset"])
 
 
 # ---- shared joint-step math (used by BOTH the fused and split variants;
@@ -153,7 +177,7 @@ def _sample_policy(key, batch, logits, aug_cfg, scale_table, rot_table, occ):
     ri, _ = sample_bins_ps(per_sample_keys(k_r, idx), logits["rot"])
     extras = {"si": si, "ri": ri}
     if occ is not None:
-        if occ["mode"] == "tree":
+        if occ["mode"] in ("tree", "parts"):
             node, lvl, cell, _ = sample_occlusion_tree(
                 per_sample_keys(k_o, idx),
                 logits["occ_level"],
@@ -283,10 +307,22 @@ def _finish_agent_state(agent_tx, agent_state, grads, new_bs, do_update):
 def _occ_spec(occ_boxes, agent_model, occ_mode, occ_levels):
     """The sampler must match the agent's AHO head layout; None arguments
     resolve from the agent model's own fields (the default — passing
-    explicit values is only for agents without those attributes)."""
+    explicit values is only for agents without those attributes).
+
+    "parts" mode needs no static box table (boxes derive from each
+    sample's keypoints in-step) — it is enabled iff the agent carries AHO
+    heads; the grid modes are enabled by passing ``occ_boxes``."""
+    mode = occ_mode or getattr(agent_model, "occ_mode", "flat")
+    if mode == "parts":
+        if getattr(agent_model, "num_occ_nodes", 0) <= 0:
+            return None
+        return {
+            "mode": mode,
+            "levels": (),
+            "dataset": getattr(agent_model, "occ_dataset", "mpii"),
+        }
     if occ_boxes is None:
         return None
-    mode = occ_mode or getattr(agent_model, "occ_mode", "flat")
     levels = tuple(occ_levels or getattr(agent_model, "occ_levels", ()))
     return {"mode": mode, "levels": levels}
 
@@ -355,7 +391,17 @@ def make_joint_step_split(
         )
         inp_a = aug2["input"][:B]
         if occ is not None:
-            inp_a = apply_occlusion(inp_a, extras["oi"], occ_boxes)
+            inp_a = apply_occlusion(
+                inp_a,
+                extras["oi"],
+                _occ_box_table(
+                    occ,
+                    occ_boxes,
+                    aug2["tpts"][:B],
+                    aug2["target_weight"][:B],
+                    aug_cfg,
+                ),
+            )
         return {
             "neutral_inp": aug_n["input"],
             "inp_a": inp_a,
@@ -524,7 +570,15 @@ def make_joint_step(
             inp_a = aug_a["input"]
             target_a = aug_a["target"].transpose(0, 2, 3, 1)
         if occ is not None:
-            inp_a = apply_occlusion(inp_a, extras["oi"], occ_boxes)
+            if ref_baseline:
+                tpts_a, tw_a = aug2["tpts"][:B], aug2["target_weight"][:B]
+            else:
+                tpts_a, tw_a = aug_a["tpts"], aug_a["target_weight"]
+            inp_a = apply_occlusion(
+                inp_a,
+                extras["oi"],
+                _occ_box_table(occ, occ_boxes, tpts_a, tw_a, aug_cfg),
+            )
 
         # --- 6. pose forward/backward on the adversarial batch ---
         def pose_loss_fn(pose_params):

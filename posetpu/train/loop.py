@@ -29,6 +29,7 @@ from posetpu.models import (
     AugAgent,
     hg,
     occlusion_hierarchy,
+    part_level_sizes,
     rotation_bin_table,
     scale_bin_table,
 )
@@ -139,17 +140,29 @@ class Experiment:
             self.rot_table = rotation_bin_table(
                 cfg.agent.rot_bins, -cfg.aug.rot_factor, cfg.aug.rot_factor
             )
-            self.occ_boxes = (
-                occlusion_hierarchy(tuple(cfg.aug.inp_res), tuple(cfg.agent.occ_levels))
-                if cfg.agent.occ_nodes
-                else None
-            )
+            if cfg.agent.occ_nodes and cfg.agent.occ_mode == "parts":
+                # body-part AHO: boxes derive per sample from keypoints
+                # inside the step — no static grid table
+                self.occ_boxes = None
+                occ_nodes = 1 + sum(part_level_sizes(cfg.aug.dataset))
+            else:
+                self.occ_boxes = (
+                    occlusion_hierarchy(
+                        tuple(cfg.aug.inp_res), tuple(cfg.agent.occ_levels)
+                    )
+                    if cfg.agent.occ_nodes
+                    else None
+                )
+                occ_nodes = (
+                    len(self.occ_boxes) if self.occ_boxes is not None else 0
+                )
             self.agent_model = AugAgent(
                 num_scale_bins=cfg.agent.scale_bins,
                 num_rot_bins=cfg.agent.rot_bins,
-                num_occ_nodes=(len(self.occ_boxes) if self.occ_boxes is not None else 0),
+                num_occ_nodes=occ_nodes,
                 occ_mode=cfg.agent.occ_mode,
                 occ_levels=tuple(cfg.agent.occ_levels),
+                occ_dataset=cfg.aug.dataset,
                 input_downscale=cfg.agent.input_downscale,
                 axis_name=self.axis,
             )

@@ -16,6 +16,8 @@ from posetpu.models import (
     AugAgent,
     hg,
     occlusion_hierarchy,
+    part_level_sizes,
+    part_occlusion_boxes,
     rotation_bin_table,
     scale_bin_table,
 )
@@ -44,10 +46,16 @@ def synth(tmp_path_factory):
 def _components(cfg, occ=False, axis_name=None, dtype=None, occ_mode="tree"):
     """Models, optimizers, and a fresh JointState for tiny joint-step tests."""
     mkw = dict(num_stacks=1, num_feats=16, num_classes=16, axis_name=axis_name)
+    if not occ:
+        n_occ = 0
+    elif occ_mode == "parts":
+        n_occ = 1 + sum(part_level_sizes("mpii"))
+    else:
+        n_occ = len(occlusion_hierarchy((64, 64), (1, 2)))
     akw = dict(
         num_scale_bins=5,
         num_rot_bins=5,
-        num_occ_nodes=len(occlusion_hierarchy((64, 64), (1, 2))) if occ else 0,
+        num_occ_nodes=n_occ,
         occ_mode=occ_mode,
         occ_levels=(1, 2),
         widths=(8, 16),
@@ -57,7 +65,11 @@ def _components(cfg, occ=False, axis_name=None, dtype=None, occ_mode="tree"):
         mkw["dtype"] = dtype
         akw["dtype"] = dtype
     model = hg(**mkw)
-    boxes = occlusion_hierarchy((64, 64), (1, 2)) if occ else None
+    boxes = (
+        occlusion_hierarchy((64, 64), (1, 2))
+        if occ and occ_mode != "parts"
+        else None
+    )
     agent = AugAgent(**akw)
     tx = make_optimizer(cfg.optim, 10)
     atx = make_optimizer(cfg.optim, 10)
@@ -140,6 +152,79 @@ class TestOcclusion:
             assert 0 <= y0 and y0 + h <= 256
             assert 0 <= x0 and x0 + w <= 256
 
+    def test_apply_occlusion_per_sample_boxes(self):
+        # (B, N, 4) body-part tables: each sample uses its OWN node's box
+        boxes = np.zeros((2, 3, 4), np.int32)
+        boxes[0, 1] = (2, 3, 5, 7)
+        boxes[1, 2] = (10, 12, 4, 4)
+        img = jnp.ones((2, 32, 32, 3))
+        out = np.asarray(apply_occlusion(img, jnp.array([1, 2]), boxes))
+        assert out[0, 2:7, 3:10].max() == 0.0
+        assert out[0, 8:].min() == 1.0
+        assert out[1, 10:14, 12:16].max() == 0.0
+        assert out[1, :10].min() == 1.0
+
+    def test_part_boxes_cover_visible_joints(self):
+        rng = np.random.RandomState(0)
+        pts = rng.rand(3, 16, 2).astype(np.float32) * 200 + 20
+        vis = np.ones((3, 16), np.float32)
+        vis[1, :6] = 0  # sample 1: whole lower body invisible
+        boxes = np.asarray(part_occlusion_boxes(pts, vis, "mpii"))
+        assert boxes.shape == (3, 1 + sum(part_level_sizes("mpii")), 4)
+        assert (boxes[:, 0] == 0).all()  # node 0 = no occlusion
+        from posetpu.models import PART_GROUPS
+
+        flat_groups = [g for lvl in PART_GROUPS["mpii"] for g in lvl]
+        for b in range(3):
+            for ni, group in enumerate(flat_groups, start=1):
+                y0, x0, h, w = boxes[b, ni]
+                vis_j = [j for j in group if vis[b, j] > 0]
+                if not vis_j:
+                    assert (boxes[b, ni] == 0).all()
+                    continue
+                for j in vis_j:  # every visible joint strictly inside
+                    x, y = pts[b, j]
+                    assert x0 <= x <= x0 + w
+                    assert y0 <= y <= y0 + h
+
+    def test_part_boxes_empty_group_is_noop(self):
+        pts = np.full((1, 16, 2), 50.0, np.float32)
+        vis = np.zeros((1, 16), np.float32)
+        boxes = np.asarray(part_occlusion_boxes(pts, vis, "mpii"))
+        assert (boxes == 0).all()
+
+
+class TestTreeSamplingHeterogeneous:
+    def test_offsets_follow_cell_head_widths(self):
+        """Parts-mode heads have non-square level sizes (2, 6); the sampled
+        flat node index must respect the [none, level0, level1] layout."""
+        from posetpu.aug.pipeline import per_sample_keys
+        from posetpu.models import sample_occlusion_tree
+
+        B = 512
+        keys = per_sample_keys(jax.random.PRNGKey(0), jnp.arange(B))
+        level_logits = jnp.zeros((B, 3))
+        cell_logits = (jnp.zeros((B, 2)), jnp.zeros((B, 6)))
+        node, lvl, cell, logp = sample_occlusion_tree(
+            keys, level_logits, cell_logits
+        )
+        node, lvl, cell = map(np.asarray, (node, lvl, cell))
+        assert set(np.unique(lvl)) <= {0, 1, 2}
+        assert (node[lvl == 0] == 0).all()
+        # level 1 nodes occupy [1, 3), level 2 nodes [3, 9)
+        assert ((node[lvl == 1] >= 1) & (node[lvl == 1] < 3)).all()
+        assert ((node[lvl == 2] >= 3) & (node[lvl == 2] < 9)).all()
+        assert (node[lvl == 1] == 1 + cell[lvl == 1]).all()
+        assert (node[lvl == 2] == 3 + cell[lvl == 2]).all()
+        # uniform logits: logp = log p(lvl) + log p(cell | lvl)
+        expect = np.where(
+            lvl == 0,
+            np.log(1 / 3),
+            np.where(lvl == 1, np.log(1 / 3) + np.log(1 / 2),
+                     np.log(1 / 3) + np.log(1 / 6)),
+        )
+        np.testing.assert_allclose(np.asarray(logp), expect, atol=1e-5)
+
 
 @pytest.mark.slow
 class TestJointStep:
@@ -156,7 +241,7 @@ class TestJointStep:
         assert _max_abs_diff(state.agent.params, new_state.agent.params) > 0
         assert int(new_state.step) == 1
 
-    @pytest.mark.parametrize("occ_mode", ["flat", "tree"])
+    @pytest.mark.parametrize("occ_mode", ["flat", "tree", "parts"])
     def test_with_occlusion_head(self, synth, occ_mode):
         cfg = _tiny_cfg()
         step, state = _joint_setup(cfg, occ=True, occ_mode=occ_mode)
@@ -223,16 +308,20 @@ class TestJointDPEquivalence:
 
 @pytest.mark.slow
 class TestVariantEquivalence:
-    @pytest.mark.parametrize("occ", [False, True])
+    @pytest.mark.parametrize("occ", [False, "tree", "parts"])
     def test_split_equals_fused(self, synth, occ):
         """make_joint_step and make_joint_step_split are the same math
         (VERDICT round-1 weak #3): same batch + key + state must give the
-        same pose update, agent update, BN stats, and metrics."""
+        same pose update, agent update, BN stats, and metrics — in every
+        AHO mode (grid and body-part)."""
         cfg = _tiny_cfg()
         batch = next(iter(HostLoader(synth, 8, pad_hw=(256, 384))))
         key = jax.random.PRNGKey(11)
         model, agent, tx, atx, boxes, state0 = _components(
-            cfg, occ=occ, dtype=jnp.float32
+            cfg,
+            occ=bool(occ),
+            dtype=jnp.float32,
+            occ_mode=occ if occ else "tree",
         )
         kw = dict(
             scale_table=scale_bin_table(5),

@@ -191,6 +191,35 @@ class TestNamedConfigs:
         # joint state (agent enabled in config 5)
         assert hasattr(state, "agent")
 
+    @pytest.mark.slow
+    def test_experiment_parts_aho_end_to_end(self, synth, tmp_path):
+        """Body-part AHO (occ_mode='parts') through the full Experiment
+        wiring: no static box table, per-sample keypoint-derived occluders
+        inside the joint step (SURVEY.md C13)."""
+        from posetpu.train.loop import Experiment
+
+        cfg = named_config("hg2_mpii_mini")
+        cfg.model.stacks = 1
+        cfg.model.feats = 8
+        cfg.aug.inp_res = (64, 64)
+        cfg.aug.out_res = (16, 16)
+        cfg.agent.enabled = True
+        cfg.agent.occ_mode = "parts"
+        cfg.agent.occ_nodes = 9  # 1 + 2 + 6 (PART_GROUPS["mpii"])
+        cfg.batch_size = 8
+        cfg.synthetic = False
+        cfg.annotations = synth.samples[0].img_path.rsplit("/images", 1)[0] + "/annotations.json"
+        cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+        cfg.pad_hw = (256, 384)
+        cfg.optim.epochs = 1
+        cfg.steps_per_epoch = 2
+        cfg.checkpoint_dir = str(tmp_path)
+        exp = Experiment(cfg)
+        assert exp.occ_boxes is None  # parts mode: boxes derive in-step
+        state, best = exp.fit(progress=lambda *_: None)
+        assert np.isfinite(best)
+        assert hasattr(state, "agent")
+
 
 class TestGrainLoader:
     def test_same_contract_as_hostloader(self, synth):
