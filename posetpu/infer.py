@@ -1,0 +1,169 @@
+"""Inference / serving API — the deployment surface of the framework.
+
+The reference has no serving path (its `validate()` doubles as the only
+inference flow, SURVEY.md §3.3); production use of the rebuilt framework
+needs a first-class one: load a checkpoint (pose-only or joint), build ONE
+jitted fixed-shape program (neutral crop warp -> hourglass forward ->
+argmax decode with quarter-pixel offset -> inverse affine), and serve
+batches with no host-side compute beyond JPEG decode.
+
+The decode math is the reference's exactly (`eval/decode.py` oracle
+parity), so predictions match `tools/evaluate.py` / the reference's
+`final_preds` on the same heatmaps.
+
+Usage:
+    from posetpu.infer import PosePredictor
+    p = PosePredictor.from_config(named_config("hg8_mpii"),
+                                  checkpoint="checkpoints/hg8_mpii")
+    out = p(images_u8, valid_wh, centers, scales)
+    out["pred"]   # (B, K, 2) keypoints in source-image coords (1-indexed)
+    out["conf"]   # (B, K) peak heatmap activation per joint
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posetpu.aug.affine import make_transform
+from posetpu.aug.color import color_normalize
+from posetpu.aug.warp import affine_warp
+from posetpu.eval.decode import final_preds, get_preds, quarter_offset
+from posetpu.models import hg
+
+# The reference normalizes by the dataset mean; MPII's is the de-facto
+# default when serving without the training dataset on disk.
+MPII_MEAN = (0.4404, 0.4440, 0.4327)
+
+
+def load_checkpoint_params(path):
+    """Raw-restore an orbax checkpoint written by
+    :class:`posetpu.ckpt.CheckpointManager` and return the POSE net's
+    ``(params, batch_stats, epoch, best_acc)`` — works for both pose-only
+    (TrainState) and joint (JointState) layouts without needing a
+    template state."""
+    import orbax.checkpoint as ocp
+
+    tree = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    st = tree["state"]
+    if "pose" in st:  # JointState: serve the estimator
+        st = st["pose"]
+    return (
+        st["params"],
+        st["batch_stats"],
+        int(tree["epoch"]),
+        float(tree["best_acc"]),
+    )
+
+
+class PosePredictor:
+    """Jitted fixed-shape pose inference.
+
+    One compiled program per (batch, pad_hw) shape (XLA static shapes;
+    jit caches per shape).  Inputs follow the loader batch contract:
+    uint8 images zero-padded to a common static shape + per-sample true
+    (w, h), center, scale — so a serving frontend only decodes JPEGs.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        batch_stats,
+        *,
+        mean=MPII_MEAN,
+        std=None,
+        inp_res=(256, 256),
+        out_res=(64, 64),
+    ):
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.mean = tuple(mean)
+        self.std = std
+        self.inp_res = tuple(inp_res)
+        self.out_res = tuple(out_res)
+        self._predict = jax.jit(partial(self._forward))
+
+    @classmethod
+    def from_config(cls, cfg, checkpoint, *, best=True, mean=MPII_MEAN):
+        """Build from an ExperimentConfig + checkpoint directory (uses
+        ``<checkpoint>/best`` when ``best`` and it exists, else the latest
+        epoch under ``<checkpoint>/ckpt``) or a direct checkpoint path."""
+        model = hg(
+            num_stacks=cfg.model.stacks,
+            num_blocks=cfg.model.blocks,
+            num_classes=cfg.model.classes,
+            num_feats=cfg.model.feats,
+            depth=cfg.model.depth,
+            dtype=jnp.bfloat16 if cfg.model.bf16 else jnp.float32,
+        )
+        path = checkpoint
+        if os.path.isdir(os.path.join(checkpoint, "best")) and best:
+            path = os.path.join(checkpoint, "best")
+        elif os.path.isdir(os.path.join(checkpoint, "ckpt")):
+            epochs = sorted(os.listdir(os.path.join(checkpoint, "ckpt")))
+            if not epochs:
+                raise FileNotFoundError(f"no checkpoint under {checkpoint}")
+            path = os.path.join(checkpoint, "ckpt", epochs[-1])
+        params, batch_stats, _, _ = load_checkpoint_params(path)
+        return cls(
+            model,
+            params,
+            batch_stats,
+            mean=mean,
+            inp_res=tuple(cfg.aug.inp_res),
+            out_res=tuple(cfg.aug.out_res),
+        )
+
+    def _forward(self, images, valid_wh, center, scale):
+        B = images.shape[0]
+        t = make_transform(
+            center, scale, self.inp_res, jnp.zeros((B,), jnp.float32)
+        )
+        crop = affine_warp(images, t, self.inp_res, valid_wh=valid_wh)
+        crop = color_normalize(crop, self.mean, self.std)
+        outs = self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            crop,
+            train=False,
+        )
+        scores = outs[-1].astype(jnp.float32).transpose(0, 3, 1, 2)
+        pred = final_preds(scores, center, scale, self.out_res)
+        conf = jnp.max(scores.reshape(B, scores.shape[1], -1), axis=-1)
+        # heatmap-space coords too (visualization / custom post-processing)
+        hm = quarter_offset(get_preds(scores), scores)
+        return {"pred": pred, "conf": conf, "heatmap_coords": hm}
+
+    def __call__(self, images, valid_wh, center, scale):
+        """images (B, Hp, Wp, 3) uint8 zero-padded; valid_wh (B, 2) int;
+        center (B, 2); scale (B,).  Returns numpy arrays."""
+        out = self._predict(
+            jnp.asarray(images),
+            jnp.asarray(valid_wh, jnp.int32),
+            jnp.asarray(center, jnp.float32),
+            jnp.asarray(scale, jnp.float32),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def predict_single(self, image, center, scale):
+        """One undecoded-size image (H, W, 3) uint8 -> (K, 2) keypoints +
+        (K,) confidences.  Pads to the image's own shape rounded up to a
+        multiple of 64 (per-shape jit cache)."""
+        image = np.asarray(image)
+        H, W = image.shape[:2]
+        Hp = -(-H // 64) * 64
+        Wp = -(-W // 64) * 64
+        padded = np.zeros((1, Hp, Wp, 3), image.dtype)
+        padded[0, :H, :W] = image
+        out = self(
+            padded,
+            np.array([[W, H]], np.int32),
+            np.asarray([center], np.float32),
+            np.asarray([scale], np.float32),
+        )
+        return out["pred"][0], out["conf"][0]
