@@ -235,7 +235,13 @@ def run_bench_loader(
     cfg.aug.out_res = (res // 4, res // 4)
     pad_hw = (512, 640)
     cls = GrainLoader if backend == "grain" else HostLoader
-    kw = {"num_workers": workers} if backend == "grain" else {}
+    if backend == "grain":
+        kw = {"num_workers": workers}
+    else:
+        from posetpu.parallel import make_batch_placer
+
+        # async H2D in the prefetch thread (same as Experiment's default)
+        kw = {"place": make_batch_placer(None)}
     loader = cls(ds, batch, pad_hw=pad_hw, seed=0, **kw)
 
     model = hg(num_stacks=stacks, num_blocks=1, num_classes=16, num_feats=feats)

@@ -112,7 +112,14 @@ class HostLoader:
         drop_last=True,
         prefetch=2,
         backend="auto",
+        place=None,
     ):
+        """``place``: optional callable applied to each collated numpy
+        batch INSIDE the prefetch thread — pass a ``jax.device_put`` (with
+        a NamedSharding for DP, see ``posetpu.parallel.make_batch_placer``)
+        so the host->device transfer overlaps the previous step's device
+        compute instead of serializing at dispatch (SURVEY.md §7
+        hard-part 4: transfer overlap)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_hw = pad_hw
@@ -120,6 +127,7 @@ class HostLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.place = place
         self.epoch = 0
         self._decoder = None
         if backend in ("auto", "native"):
@@ -191,13 +199,16 @@ class HostLoader:
                 for b in range(nb):
                     sel = order[b * self.batch_size : (b + 1) * self.batch_size]
                     if self._decoder is not None:
-                        q.put(self._native_batch(sel))
+                        batch = self._native_batch(sel)
                     else:
                         items = [
                             load_sample(self.dataset, int(i), self.pad_hw)
                             for i in sel
                         ]
-                        q.put(_collate(items))
+                        batch = _collate(items)
+                    if self.place is not None:  # async H2D off-thread
+                        batch = self.place(batch)
+                    q.put(batch)
                 q.put(None)
             except BaseException as e:  # propagate instead of deadlocking
                 q.put(e)

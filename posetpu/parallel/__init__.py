@@ -4,9 +4,10 @@ replacement for the reference's single-process nn.DataParallel (C14)."""
 
 from posetpu.parallel.dp import (
     DATA_AXIS,
+    make_batch_placer,
     make_mesh,
     shard_eval_step,
     shard_train_step,
 )
 
-__all__ = ["DATA_AXIS", "make_mesh", "shard_eval_step", "shard_train_step"]
+__all__ = ["DATA_AXIS", "make_batch_placer", "make_mesh", "shard_eval_step", "shard_train_step"]

@@ -53,6 +53,17 @@ def shard_train_step(train_step, mesh, axis=DATA_AXIS, donate=True):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+def make_batch_placer(mesh=None, axis=DATA_AXIS):
+    """Callable for ``HostLoader(place=...)``: device_put each batch from
+    the loader's prefetch thread so H2D overlaps device compute.  With a
+    mesh, arrays land pre-sharded along the data axis (leading dim), so the
+    sharded step's dispatch does no implicit re-transfer."""
+    if mesh is None:
+        return jax.device_put
+    sharding = jax.sharding.NamedSharding(mesh, P(axis))
+    return lambda batch: jax.device_put(batch, sharding)
+
+
 def shard_eval_step(eval_step, mesh, axis=DATA_AXIS):
     """Wrap a (state, batch) -> (metrics, preds) eval step: metrics
     replicated, per-sample preds stay sharded along the batch."""

@@ -33,7 +33,12 @@ from posetpu.models import (
     rotation_bin_table,
     scale_bin_table,
 )
-from posetpu.parallel import make_mesh, shard_eval_step, shard_train_step
+from posetpu.parallel import (
+    make_batch_placer,
+    make_mesh,
+    shard_eval_step,
+    shard_train_step,
+)
 from posetpu.train.adversarial import (
     JointState,
     make_joint_step,
@@ -107,6 +112,10 @@ class Experiment:
                 f"unknown loader_backend {cfg.loader_backend!r} "
                 "(expected 'host' or 'grain')"
             )
+        if loader_cls is HostLoader:
+            # async H2D in the prefetch thread: train batches land on
+            # device (pre-sharded under DP) while the previous step runs
+            loader_kw["place"] = make_batch_placer(self.mesh)
         self.loader = loader_cls(
             self.train_ds,
             cfg.batch_size,

@@ -103,6 +103,36 @@ class TestHostLoader:
         # padding rows are zero
         assert b["image"][:, 240:, :, :].max() == 0
 
+    def test_place_runs_in_prefetch_thread(self, synth_dir):
+        """``place`` (async device_put hook) is applied to every batch off
+        the consumer thread, and the placed batches keep the contract."""
+        import threading
+
+        import jax
+
+        path = os.path.join(synth_dir, "annotations.json")
+        imgs = os.path.join(synth_dir, "images")
+        ds = MpiiDataset(path, imgs, split="train")
+        seen_threads = []
+
+        def place(batch):
+            seen_threads.append(threading.current_thread())
+            return jax.device_put(batch)
+
+        loader = HostLoader(
+            ds, batch_size=4, pad_hw=(256, 384), place=place
+        )
+        main = threading.current_thread()
+        batches = list(loader)
+        assert len(batches) == 3
+        assert all(t is not main for t in seen_threads)
+        b = batches[0]
+        assert isinstance(b["image"], jax.Array)
+        assert b["image"].shape == (4, 256, 384, 3)
+        # same values as the un-placed loader
+        ref = next(iter(HostLoader(ds, 4, pad_hw=(256, 384), seed=0)))
+        np.testing.assert_array_equal(np.asarray(b["image"]), ref["image"])
+
     def test_shuffle_reproducible_and_epoch_varies(self, synth_dir):
         path = os.path.join(synth_dir, "annotations.json")
         imgs = os.path.join(synth_dir, "images")
