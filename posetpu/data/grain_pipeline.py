@@ -46,6 +46,7 @@ class GrainLoader:
         prefetch=2,  # accepted for HostLoader signature parity (grain
         # prefetches via worker buffers; no-op in-process)
         backend=None,  # ditto
+        place=None,  # same async-H2D hook as HostLoader(place=...)
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -54,6 +55,7 @@ class GrainLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.place = place
         self.epoch = 0
         self._source = pg.InMemoryDataSource(list(range(len(dataset))))
 
@@ -85,4 +87,7 @@ class GrainLoader:
         loader = self._epoch_loader(self.epoch)
         self.epoch += 1
         for batch in loader:
-            yield {k: np.asarray(v) for k, v in batch.items()}
+            batch = {k: np.asarray(v) for k, v in batch.items()}
+            if self.place is not None:
+                batch = self.place(batch)
+            yield batch

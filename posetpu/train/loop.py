@@ -112,15 +112,14 @@ class Experiment:
                 f"unknown loader_backend {cfg.loader_backend!r} "
                 "(expected 'host' or 'grain')"
             )
-        if loader_cls is HostLoader:
-            # async H2D in the prefetch thread: train batches land on
-            # device (pre-sharded under DP) while the previous step runs
-            loader_kw["place"] = make_batch_placer(self.mesh)
         self.loader = loader_cls(
             self.train_ds,
             cfg.batch_size,
             pad_hw=tuple(cfg.pad_hw),
             seed=cfg.seed,
+            # async H2D in the producer: train batches land on device
+            # (pre-sharded under DP) while the previous step runs
+            place=make_batch_placer(self.mesh),
             **loader_kw,
         )
         self.val_loader = loader_cls(
@@ -129,6 +128,8 @@ class Experiment:
             pad_hw=tuple(cfg.pad_hw),
             shuffle=False,
             drop_last=False,
+            # val batches stay host-side: pad_batch masks the ragged final
+            # batch in numpy before the (sharded) eval dispatch
             **loader_kw,
         )
         self.steps_per_epoch = cfg.steps_per_epoch or len(self.loader)
