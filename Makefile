@@ -22,6 +22,9 @@ install:
 test:
 	python -m pytest tests/ -x -q
 
+smoke:  # fast tier (<2 min on a multi-core host)
+	python -m pytest tests/ -q -m "not slow"
+
 bench:
 	python bench.py
 

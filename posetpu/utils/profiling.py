@@ -70,6 +70,12 @@ def measure_duty_cycle(step_fn, state, loader, key, max_steps=30):
     asynchronously.  Returns (duty, t_device, t_wall)."""
     first = next(iter(loader))
     t_dev, state = time_device_step(step_fn, state, first, key)
+    # Warm the PER-DISPATCH step program too — it is a different program
+    # from time_device_step's fused-K scan, and its ~2 min XLA compile
+    # must not land inside the timed loop (it did before this warmup:
+    # wall_step read ~20 s/step, all of it compile).
+    state, m = step_fn(state, first, jax.random.fold_in(key, 0x7FFFFFFF))
+    float(_metric_scalar(m))
 
     n = 0
     t0 = time.perf_counter()

@@ -44,8 +44,11 @@ def main():
     if not os.path.exists(json_path):
         make_synthetic_dataset(root, num_train=256, num_val=8, res=(512, 384))
     ds = MpiiDataset(json_path, os.path.join(root, "images"), split="train")
+    from posetpu.parallel import make_batch_placer
+
     loader = HostLoader(
-        ds, args.batch, pad_hw=(384, 512), backend=args.backend, prefetch=4
+        ds, args.batch, pad_hw=(384, 512), backend=args.backend, prefetch=4,
+        place=make_batch_placer(None),  # async H2D, as Experiment wires it
     )
 
     cfg = named_config("hg8_mpii")
