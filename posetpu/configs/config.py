@@ -104,6 +104,10 @@ class ExperimentConfig:
     steps_per_epoch: Optional[int] = None  # cap (smoke tests)
     eval_every: int = 1
     log_every: int = 10
+    # structured metrics (SURVEY.md §1 L7 mapping "clu + structured
+    # metrics"): write TensorBoard event files via clu.metric_writers
+    # alongside the reference txt log.  Off by default (pulls in TF).
+    tensorboard: bool = False
 
 
 def _cfg(name, **kw) -> ExperimentConfig:
@@ -195,6 +199,7 @@ def add_overrides(parser: argparse.ArgumentParser):
         parser.add_argument(flag, type=typ, default=None)
     parser.add_argument("--schedule", type=int, nargs="*", default=None)
     parser.add_argument("--synthetic", action="store_true", default=None)
+    parser.add_argument("--tensorboard", action="store_true", default=None)
     parser.add_argument("--no-color-jitter", action="store_true", default=None)
     return parser
 
@@ -212,6 +217,8 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         cfg.optim.schedule = tuple(args.schedule)
     if getattr(args, "synthetic", None):
         cfg.synthetic = True
+    if getattr(args, "tensorboard", None):
+        cfg.tensorboard = True
     if getattr(args, "no_color_jitter", None):
         cfg.aug.color_jitter = False
     return cfg

@@ -259,12 +259,31 @@ class Experiment:
             resume=bool(cfg.resume),
         )
         self.logger.set_names(Logger.DEFAULT_NAMES)
+        # reproducibility: the exact resolved config next to the log
+        self._dump_config()
+        self.tb = None
+        if cfg.tensorboard:  # structured metrics (SURVEY.md §1 L7 mapping)
+            from clu import metric_writers
+
+            self.tb = metric_writers.create_default_writer(
+                os.path.join(cfg.checkpoint_dir, cfg.name, "tb")
+            )
         self.start_epoch = 0
         self.best_acc = 0.0
         if cfg.init_pose_from:
             self._init_pose_from(cfg.init_pose_from)
         if cfg.resume:
             self._resume(cfg.resume)
+
+    def _dump_config(self):
+        import dataclasses
+        import json
+
+        path = os.path.join(
+            self.cfg.checkpoint_dir, self.cfg.name, "config.json"
+        )
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self.cfg), f, indent=2, default=str)
 
     def _pose_model_for_eval(self):
         return self.model
@@ -394,6 +413,20 @@ class Experiment:
                     va["acc"],
                 ]
             )
+            if self.tb is not None:
+                scalars = {
+                    "train/loss": tr["loss"],
+                    "train/acc": tr["acc"],
+                    "train/images_per_sec": tr["images_per_sec"],
+                    "lr": self.current_lr(epoch),
+                }
+                for k in ("agent_loss", "advantage", "entropy"):
+                    if k in tr:
+                        scalars[f"train/{k}"] = tr[k]
+                if preds is not None:  # a real validation ran this epoch
+                    scalars["val/loss"] = va["loss"]
+                    scalars["val/acc"] = va["acc"]
+                self.tb.write_scalars(epoch, scalars)
             self.ckpt.save(self.state, epoch, self.best_acc, is_best=is_best)
             if is_best and preds is not None:
                 save_preds(
@@ -411,6 +444,8 @@ class Experiment:
             self.logger.plot()
         except Exception as e:  # plotting must never kill a finished run
             progress(f"[posetpu] log plot failed: {e}")
+        if self.tb is not None:
+            self.tb.flush()
         # saves are async — commit the final checkpoint before returning
         # (otherwise interpreter shutdown can strand the last epoch's write)
         self.ckpt.wait()

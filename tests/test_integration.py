@@ -221,6 +221,45 @@ class TestNamedConfigs:
         assert hasattr(state, "agent")
 
 
+class TestObservability:
+    @pytest.mark.slow
+    def test_tensorboard_and_config_dump(self, synth, tmp_path):
+        """cfg.tensorboard writes clu event files next to the reference
+        txt log (SURVEY.md §1 L7 mapping), and every Experiment dumps its
+        resolved config.json for reproducibility."""
+        import glob
+        import json
+
+        from posetpu.train.loop import Experiment
+
+        cfg = named_config("hg2_mpii_mini")
+        cfg.model.stacks = 1
+        cfg.model.feats = 8
+        cfg.aug.inp_res = (64, 64)
+        cfg.aug.out_res = (16, 16)
+        cfg.batch_size = 4
+        cfg.num_devices = 1
+        cfg.synthetic = False
+        cfg.annotations = synth.samples[0].img_path.rsplit("/images", 1)[0] + "/annotations.json"
+        cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+        cfg.pad_hw = (256, 384)
+        cfg.optim.epochs = 1
+        cfg.steps_per_epoch = 1
+        cfg.checkpoint_dir = str(tmp_path)
+        cfg.tensorboard = True
+        exp = Experiment(cfg)
+        exp.fit(progress=lambda *_: None)
+        run_dir = os.path.join(str(tmp_path), cfg.name)
+        events = glob.glob(os.path.join(run_dir, "tb", "events.*"))
+        assert events, "no TensorBoard event files written"
+        with open(os.path.join(run_dir, "config.json")) as f:
+            dumped = json.load(f)
+        assert dumped["name"] == cfg.name
+        assert dumped["model"]["stacks"] == 1
+        assert dumped["tensorboard"] is True
+        assert os.path.exists(os.path.join(run_dir, "log.txt"))
+
+
 class TestGrainLoader:
     def test_same_contract_as_hostloader(self, synth):
         from posetpu.data.grain_pipeline import GrainLoader
