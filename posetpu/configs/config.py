@@ -9,6 +9,7 @@ keeping the reference's public flag names.
 from __future__ import annotations
 
 import argparse
+import copy
 import dataclasses
 from dataclasses import dataclass, field
 from typing import Optional, Sequence, Tuple
@@ -160,7 +161,11 @@ def named_config(name) -> ExperimentConfig:
         raise KeyError(
             f"unknown config {name!r}; available: {sorted(NAMED_CONFIGS)}"
         )
-    return dataclasses.replace(NAMED_CONFIGS[name])
+    # deep copy: dataclasses.replace is SHALLOW — the nested model/aug/
+    # optim/agent dataclasses would be shared with the registry, and any
+    # caller mutation (bench.py and tests adjust inp_res/stacks freely)
+    # would silently poison every later named_config() in the process
+    return copy.deepcopy(NAMED_CONFIGS[name])
 
 
 # ---- argparse overrides (reference flag names) ----
