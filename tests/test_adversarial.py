@@ -254,12 +254,16 @@ class TestJointStep:
 
 @pytest.mark.slow
 class TestJointDPEquivalence:
-    def test_joint_dp_equals_single_device(self, synth):
+    @pytest.mark.parametrize("occ", [False, "parts"])
+    def test_joint_dp_equals_single_device(self, synth, occ):
         """The flagship claim (SURVEY.md §4.4): the sharded joint minimax
         step is numerically equivalent to the single-device step on the
         merged batch — WITH stochastic augmentation enabled, because every
         draw is keyed on the global sample index, gradients/BN are pmean'd,
-        and the advantage normalization uses global psum'd moments."""
+        and the advantage normalization uses global psum'd moments.
+        Parametrized over parts-AHO too: the per-sample keypoint-derived
+        occluder boxes and the tree-path logp must also be
+        sharding-invariant."""
         cfg = _tiny_cfg()  # stochastic aug + color jitter stay ON
         batch = next(iter(HostLoader(synth, 16, pad_hw=(256, 384), seed=3)))
         key = jax.random.PRNGKey(7)
@@ -267,7 +271,8 @@ class TestJointDPEquivalence:
         # f32 models: the equivalence claim is exact math (bf16 accumulation
         # order would add ~2^-8 noise and mask real bugs)
         model1, agent1, tx, atx, _, state0 = _components(
-            cfg, axis_name=None, dtype=jnp.float32
+            cfg, occ=bool(occ), axis_name=None, dtype=jnp.float32,
+            occ_mode=occ if occ else "tree",
         )
         step1 = jax.jit(
             make_joint_step(
@@ -278,7 +283,8 @@ class TestJointDPEquivalence:
         s1, m1 = step1(state0, batch, key)
 
         model8, agent8, tx8, atx8, _, _ = _components(
-            cfg, axis_name="data", dtype=jnp.float32
+            cfg, occ=bool(occ), axis_name="data", dtype=jnp.float32,
+            occ_mode=occ if occ else "tree",
         )
         step8 = shard_train_step(
             make_joint_step(
@@ -300,9 +306,18 @@ class TestJointDPEquivalence:
         np.testing.assert_allclose(
             float(m1["advantage"]), float(m8["advantage"]), atol=2e-4, rtol=1e-3
         )
-        _assert_trees_close(s1.pose.params, s8.pose.params)
+        # Param tolerance: RMSprop's FIRST step is update ≈ ±10·lr·sign(g)
+        # for any element (v starts at 0, so g/(sqrt(0.01 g²)+eps) ≈
+        # 10·sign(g)) — an element whose full-batch gradient sits at
+        # accumulation-noise scale can legitimately move by O(lr) between
+        # the pmean-of-shard-sums and single-reduction orders.  Occlusion
+        # zeroes input regions and makes such near-zero-gradient elements
+        # common (observed: 1/9408 stem weights at 3.1e-4), so the parts
+        # run gets sign-flip headroom; the math is still identical.
+        p_atol = 5e-4 if occ else 2e-4
+        _assert_trees_close(s1.pose.params, s8.pose.params, atol=p_atol)
         _assert_trees_close(s1.pose.batch_stats, s8.pose.batch_stats)
-        _assert_trees_close(s1.agent.params, s8.agent.params)
+        _assert_trees_close(s1.agent.params, s8.agent.params, atol=p_atol)
         _assert_trees_close(s1.agent.batch_stats, s8.agent.batch_stats)
 
 
