@@ -236,6 +236,10 @@ def augment_batch(
         "target": target,
         "target_weight": target_weight,
         "tpts": tpts,
+        # un-truncated float heatmap coords: consumers needing CROP-pixel
+        # positions (parts-AHO occluder boxes) rescale these exactly —
+        # the truncated ints above quantize to inp/out (=4px) steps
+        "tpts_float": transform_points(pts_f, t_out, truncate=False),
         "center": center_f,
         "scale": s_aug,
     }

@@ -13,7 +13,7 @@ from __future__ import annotations
 import grain.python as pg
 import numpy as np
 
-from posetpu.data.loader import load_sample
+from posetpu.data.loader import load_sample, threaded_place_iter
 
 
 class _DecodeSample(pg.MapTransform):
@@ -86,8 +86,15 @@ class GrainLoader:
     def __iter__(self):
         loader = self._epoch_loader(self.epoch)
         self.epoch += 1
-        for batch in loader:
-            batch = {k: np.asarray(v) for k, v in batch.items()}
-            if self.place is not None:
-                batch = self.place(batch)
-            yield batch
+
+        def batches():
+            for batch in loader:
+                yield {k: np.asarray(v) for k, v in batch.items()}
+
+        if self.place is None:
+            yield from batches()
+        else:
+            # grain iterates on the consumer thread; a plain place() here
+            # would serialize the H2D with the train loop — run it in a
+            # background thread like HostLoader does
+            yield from threaded_place_iter(batches(), self.place)

@@ -93,6 +93,51 @@ def pad_batch(batch, size):
     return out
 
 
+def threaded_place_iter(src_iter, place, prefetch=2):
+    """Drive ``src_iter`` from a background thread and apply ``place``
+    (async H2D) there — for loaders whose own iteration happens on the
+    consumer thread (GrainLoader), so the device transfer still overlaps
+    the training step.  Same abandon-safe queue discipline as
+    HostLoader.__iter__."""
+    q = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def _put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def produce():
+        try:
+            for item in src_iter:
+                if not _put(place(item)):
+                    return
+            _put(None)
+        except BaseException as e:
+            _put(e)
+
+    threading.Thread(target=produce, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+
+
 class HostLoader:
     """Iterable over static-shape batches with background decode prefetch.
 
@@ -193,10 +238,27 @@ class HostLoader:
         self.epoch += 1
         nb = len(self)
         q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def _put(item):
+            """q.put that gives up when the consumer abandoned us —
+            otherwise an early-exited epoch (steps_per_epoch cap, test
+            break) strands this thread blocked on a full queue holding
+            prefetched batches forever; with ``place`` those batches are
+            DEVICE buffers, so the strand leaks HBM, not just host RAM."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for b in range(nb):
+                    if stop.is_set():
+                        return
                     sel = order[b * self.batch_size : (b + 1) * self.batch_size]
                     if self._decoder is not None:
                         batch = self._native_batch(sel)
@@ -208,17 +270,28 @@ class HostLoader:
                         batch = _collate(items)
                     if self.place is not None:  # async H2D off-thread
                         batch = self.place(batch)
-                    q.put(batch)
-                q.put(None)
+                    if not _put(batch):
+                        return
+                _put(None)
             except BaseException as e:  # propagate instead of deadlocking
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                return
-            if isinstance(batch, BaseException):
-                raise batch
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            # consumer done (normal end, break, or GC of the generator):
+            # release the producer and drop any prefetched batches
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

@@ -23,7 +23,6 @@ Usage:
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -80,6 +79,11 @@ class PosePredictor:
         inp_res=(256, 256),
         out_res=(64, 64),
     ):
+        """``mean``/``std`` MUST match what training normalized with —
+        Experiment uses the training dataset's computed mean and std=None
+        (the reference subtracts the mean only); MPII_MEAN is the right
+        default for MPII-trained checkpoints, pass the dataset's own mean
+        otherwise (``MpiiDataset.mean_std()[0]``)."""
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
@@ -87,13 +91,18 @@ class PosePredictor:
         self.std = std
         self.inp_res = tuple(inp_res)
         self.out_res = tuple(out_res)
-        self._predict = jax.jit(partial(self._forward))
+        # Weights enter as jit ARGUMENTS, not closure constants: closing
+        # over them would bake the full pytree into every compiled
+        # executable (one copy per input shape) and freeze updates to
+        # self.params out of later calls.
+        self._predict = jax.jit(self._forward)
 
     @classmethod
     def from_config(cls, cfg, checkpoint, *, best=True, mean=MPII_MEAN):
         """Build from an ExperimentConfig + checkpoint directory (uses
         ``<checkpoint>/best`` when ``best`` and it exists, else the latest
-        epoch under ``<checkpoint>/ckpt``) or a direct checkpoint path."""
+        FINISHED epoch under ``<checkpoint>/ckpt``) or a direct checkpoint
+        path."""
         model = hg(
             num_stacks=cfg.model.stacks,
             num_blocks=cfg.model.blocks,
@@ -106,7 +115,14 @@ class PosePredictor:
         if os.path.isdir(os.path.join(checkpoint, "best")) and best:
             path = os.path.join(checkpoint, "best")
         elif os.path.isdir(os.path.join(checkpoint, "ckpt")):
-            epochs = sorted(os.listdir(os.path.join(checkpoint, "ckpt")))
+            # skip in-flight/stale "*.orbax-checkpoint-tmp-*" dirs — they
+            # sort AFTER the finished epoch they belong to (same filter as
+            # CheckpointManager._finished)
+            epochs = sorted(
+                n
+                for n in os.listdir(os.path.join(checkpoint, "ckpt"))
+                if "orbax-checkpoint-tmp" not in n
+            )
             if not epochs:
                 raise FileNotFoundError(f"no checkpoint under {checkpoint}")
             path = os.path.join(checkpoint, "ckpt", epochs[-1])
@@ -120,18 +136,14 @@ class PosePredictor:
             out_res=tuple(cfg.aug.out_res),
         )
 
-    def _forward(self, images, valid_wh, center, scale):
+    def _forward(self, variables, images, valid_wh, center, scale):
         B = images.shape[0]
         t = make_transform(
             center, scale, self.inp_res, jnp.zeros((B,), jnp.float32)
         )
         crop = affine_warp(images, t, self.inp_res, valid_wh=valid_wh)
         crop = color_normalize(crop, self.mean, self.std)
-        outs = self.model.apply(
-            {"params": self.params, "batch_stats": self.batch_stats},
-            crop,
-            train=False,
-        )
+        outs = self.model.apply(variables, crop, train=False)
         scores = outs[-1].astype(jnp.float32).transpose(0, 3, 1, 2)
         pred = final_preds(scores, center, scale, self.out_res)
         conf = jnp.max(scores.reshape(B, scores.shape[1], -1), axis=-1)
@@ -143,6 +155,7 @@ class PosePredictor:
         """images (B, Hp, Wp, 3) uint8 zero-padded; valid_wh (B, 2) int;
         center (B, 2); scale (B,).  Returns numpy arrays."""
         out = self._predict(
+            {"params": self.params, "batch_stats": self.batch_stats},
             jnp.asarray(images),
             jnp.asarray(valid_wh, jnp.int32),
             jnp.asarray(center, jnp.float32),

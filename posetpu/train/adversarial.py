@@ -143,8 +143,10 @@ def _occ_box_table(occ, occ_boxes, tpts, target_weight, aug_cfg):
     """Resolve the box table for :func:`apply_occlusion`: the static grid
     (tree/flat modes) or per-sample body-part boxes derived from the
     adversarial crop's own keypoints (parts mode).  ``tpts`` are the aug's
-    1-indexed heatmap-resolution keypoints; the crop-resolution coords are
-    an exact linear rescale (make_transform is linear in the output res).
+    UN-truncated float heatmap-resolution keypoints (``tpts_float``); the
+    crop-resolution coords are an exact linear rescale (make_transform is
+    linear in the output res) — the truncated int ``tpts`` would bias the
+    boxes up to inp/out (=4px) toward the origin.
     """
     if occ["mode"] != "parts":
         return occ_boxes
@@ -397,7 +399,7 @@ def make_joint_step_split(
                 _occ_box_table(
                     occ,
                     occ_boxes,
-                    aug2["tpts"][:B],
+                    aug2["tpts_float"][:B],
                     aug2["target_weight"][:B],
                     aug_cfg,
                 ),
@@ -571,9 +573,10 @@ def make_joint_step(
             target_a = aug_a["target"].transpose(0, 2, 3, 1)
         if occ is not None:
             if ref_baseline:
-                tpts_a, tw_a = aug2["tpts"][:B], aug2["target_weight"][:B]
+                tpts_a = aug2["tpts_float"][:B]
+                tw_a = aug2["target_weight"][:B]
             else:
-                tpts_a, tw_a = aug_a["tpts"], aug_a["target_weight"]
+                tpts_a, tw_a = aug_a["tpts_float"], aug_a["target_weight"]
             inp_a = apply_occlusion(
                 inp_a,
                 extras["oi"],

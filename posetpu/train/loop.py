@@ -166,6 +166,19 @@ class Experiment:
                 occ_nodes = (
                     len(self.occ_boxes) if self.occ_boxes is not None else 0
                 )
+            if cfg.agent.occ_nodes and cfg.agent.occ_nodes != occ_nodes:
+                # occ_nodes gates AHO on/off but the COUNT is derived from
+                # the hierarchy — reject silently-ignored mismatches
+                src = (
+                    f"PART_GROUPS[{cfg.aug.dataset!r}]"
+                    if cfg.agent.occ_mode == "parts"
+                    else f"occ_levels={tuple(cfg.agent.occ_levels)}"
+                )
+                raise ValueError(
+                    f"agent.occ_nodes={cfg.agent.occ_nodes} does not match "
+                    f"the {cfg.agent.occ_mode!r} hierarchy: {src} defines "
+                    f"{occ_nodes} nodes"
+                )
             self.agent_model = AugAgent(
                 num_scale_bins=cfg.agent.scale_bins,
                 num_rot_bins=cfg.agent.rot_bins,

@@ -133,6 +133,33 @@ class TestHostLoader:
         ref = next(iter(HostLoader(ds, 4, pad_hw=(256, 384), seed=0)))
         np.testing.assert_array_equal(np.asarray(b["image"]), ref["image"])
 
+    def test_abandoned_iterator_releases_producer(self, synth_dir):
+        """Breaking out of an epoch early (steps_per_epoch cap) must not
+        strand the prefetch thread blocked on a full queue — with
+        ``place`` those queued batches are device buffers (HBM leak)."""
+        import gc
+        import threading
+        import time
+
+        path = os.path.join(synth_dir, "annotations.json")
+        imgs = os.path.join(synth_dir, "images")
+        ds = MpiiDataset(path, imgs, split="train")
+        before = threading.active_count()
+        loader = HostLoader(ds, batch_size=4, pad_hw=(256, 384), prefetch=1)
+        it = iter(loader)
+        next(it)  # consume one of three batches, then abandon
+        it.close()  # what GC of the generator does
+        del it
+        gc.collect()
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            if threading.active_count() <= before:
+                break
+            time.sleep(0.05)
+        assert threading.active_count() <= before, (
+            "producer thread still alive after iterator abandoned"
+        )
+
     def test_shuffle_reproducible_and_epoch_varies(self, synth_dir):
         path = os.path.join(synth_dir, "annotations.json")
         imgs = os.path.join(synth_dir, "images")
