@@ -23,6 +23,10 @@ class ModelConfig:
     feats: int = 128  # reference --features
     depth: int = 4
     remat: bool = False
+    # compile the stack body once via nn.scan (2.7x faster compiles,
+    # ~16% slower steps — BASELINE.md); pair with remat=True at batch 32
+    # or the scanned backward's live per-stack carries OOM HBM
+    scan_stacks: bool = False
     bf16: bool = True
 
 
@@ -205,6 +209,11 @@ def add_overrides(parser: argparse.ArgumentParser):
     parser.add_argument("--schedule", type=int, nargs="*", default=None)
     parser.add_argument("--synthetic", action="store_true", default=None)
     parser.add_argument("--tensorboard", action="store_true", default=None)
+    parser.add_argument(
+        "--scan-stacks", action="store_true", default=None,
+        help="compile the hourglass stack body once via nn.scan "
+        "(2.7x faster compiles, ~16%% slower steps; implies remat)",
+    )
     parser.add_argument("--no-color-jitter", action="store_true", default=None)
     return parser
 
@@ -224,6 +233,8 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         cfg.synthetic = True
     if getattr(args, "tensorboard", None):
         cfg.tensorboard = True
+    if getattr(args, "scan_stacks", None):
+        cfg.model.scan_stacks = True
     if getattr(args, "no_color_jitter", None):
         cfg.aug.color_jitter = False
     return cfg

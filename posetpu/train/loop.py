@@ -93,7 +93,8 @@ class Experiment:
             num_classes=cfg.model.classes,
             num_feats=cfg.model.feats,
             depth=cfg.model.depth,
-            remat=cfg.model.remat,
+            remat=cfg.model.remat or cfg.model.scan_stacks,
+            scan_stacks=cfg.model.scan_stacks,
             dtype=jnp.bfloat16 if cfg.model.bf16 else jnp.float32,
             axis_name=self.axis,
         )

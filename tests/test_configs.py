@@ -72,6 +72,11 @@ class TestCliOverrides:
         assert cfg.agent.occ_nodes == 9
         assert cfg.agent.update_every == 2
 
+    def test_scan_stacks_flag(self):
+        cfg = _parse(["--config", "hg8_mpii", "--scan-stacks"])
+        assert cfg.model.scan_stacks is True
+        assert _parse(["--config", "hg8_mpii"]).model.scan_stacks is False
+
     def test_boolean_flags(self):
         cfg = _parse(
             ["--config", "hg2_mpii_mini", "--synthetic", "--tensorboard",
