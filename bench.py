@@ -201,6 +201,43 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256):
     return batch * steps / (time.perf_counter() - t0)
 
 
+def run_bench_serve(batch=64, stacks=8, feats=128, steps=20, warmup=2,
+                    res=256, pad=320):
+    """Serving throughput: the PosePredictor path (uint8 padded batch ->
+    neutral warp -> hourglass forward -> reference-exact decode), timed
+    per dispatch WITH the device->host result fetch every call — exactly
+    what a serving frontend pays per batch.  (__call__ returns numpy, so
+    each call is a real sync; no scan fusion — serving is per-request.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from posetpu.infer import PosePredictor
+    from posetpu.models import hg
+
+    model = hg(num_stacks=stacks, num_blocks=1, num_classes=16,
+               num_feats=feats)
+    v = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)), train=True
+    )
+    p = PosePredictor(
+        model, v["params"], v["batch_stats"],
+        inp_res=(res, res), out_res=(res // 4, res // 4),
+    )
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, (batch, pad, pad, 3), dtype=np.uint8)
+    valid_wh = np.tile(np.array([[pad, pad]], np.int32), (batch, 1))
+    center = np.tile(np.array([[pad / 2, pad / 2]], np.float32), (batch, 1))
+    scale = np.full((batch,), pad / 250.0, np.float32)
+    for _ in range(warmup):
+        p(images, valid_wh, center, scale)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        p(images, valid_wh, center, scale)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
 def run_bench_loader(
     batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256,
     backend="host", workers=0,
@@ -295,9 +332,14 @@ def main():
         "--joint", action="store_true",
         help="benchmark the full adversarial (ASR) minimax step",
     )
+    ap.add_argument(
+        "--serve", action="store_true",
+        help="benchmark the serving path (PosePredictor: warp + forward "
+        "+ decode, per-dispatch with result fetch)",
+    )
     args = ap.parse_args()
 
-    per_dispatch = bool(args.loader or args.joint)
+    per_dispatch = bool(args.loader or args.joint or args.serve)
     if args.quick:
         kw = dict(batch=4, stacks=1, feats=16, steps=5, warmup=2, res=64)
     elif per_dispatch:
@@ -323,6 +365,10 @@ def main():
     elif args.joint:
         ips = run_bench_joint(**kw)
         metric = "images/sec/chip (joint adversarial minimax step)"
+    elif args.serve:
+        kw["batch"] = args.batch or 64
+        ips = run_bench_serve(**kw)
+        metric = "images/sec/chip (serving: warp+forward+decode)"
     else:
         try:
             ips = run_bench(**kw)
