@@ -140,6 +140,8 @@ def affine_warp(images, t, out_res, valid_wh=None, src_index=None):
         ],
         axis=-1,
     )  # (N, Ho, Wo, 4)
-    return jnp.einsum(
-        "nhwk,nhwkc->nhwc", weights, patch
-    ).astype(jnp.float32)
+    # explicit multiply-sum, NOT einsum: einsum lowers to dot_general at
+    # DEFAULT precision, which on TPU truncates f32 operands to bf16 —
+    # breaking the oracle fp-parity this module promises (same reason
+    # affine.py avoids matmuls); the k=4 contraction is pure VPU work
+    return (weights[..., None] * patch).sum(axis=3).astype(jnp.float32)

@@ -38,7 +38,12 @@ def load_sample(dataset, i, pad_hw):
     If the decoded image exceeds the canvas, an integer crop window centered
     on the person is taken first and all coordinates are shifted by the
     (integer) offset — an exact, lossless transport of the reference
-    geometry into the static shape.
+    geometry into the static shape PROVIDED the person's crop box
+    (200 * 1.25 * scale * max aug scale px) fits inside pad_hw; a person
+    whose box outruns the window samples zeros where the reference's host
+    crop would read real pixels.  Size pad_hw to the dataset (the MPII
+    configs use 512, covering scale <= ~1.6 at the default aug range;
+    larger-scale people are rare and lose only their crop border).
     """
     pad_h, pad_w = pad_hw
     img = _decode(dataset.image_path(i))
@@ -46,8 +51,11 @@ def load_sample(dataset, i, pad_hw):
     H, W = img.shape[:2]
     off_x = off_y = 0
     if H > pad_h or W > pad_w:
-        off_y = min(max(int(round(c[1])) - pad_h // 2, 0), max(H - pad_h, 0))
-        off_x = min(max(int(round(c[0])) - pad_w // 2, 0), max(W - pad_w, 0))
+        # half-up rounding, matching the C++ pool's int(c + 0.5f) — the
+        # two backends must pick the SAME window (Python round() is
+        # half-to-even and diverged on *.5 centers)
+        off_y = min(max(int(c[1] + 0.5) - pad_h // 2, 0), max(H - pad_h, 0))
+        off_x = min(max(int(c[0] + 0.5) - pad_w // 2, 0), max(W - pad_w, 0))
         img = img[off_y : off_y + pad_h, off_x : off_x + pad_w]
         H, W = img.shape[:2]
     canvas = np.zeros((pad_h, pad_w, 3), np.uint8)

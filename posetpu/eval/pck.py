@@ -43,9 +43,10 @@ def pckh(preds, gts, headsizes, vis=None, thr=0.5):
 
 
 def pck_lsp(preds, gts, vis=None, thr=0.2):
-    """LSP PCK@0.2: torso size = distance rsho(9)..lhip(3) per the
-    person-centric protocol (14-joint LSP order: 2=rhip, 3=lhip, 8=rsho,
-    9=lsho, 12=neck, 13=head)."""
+    """LSP PCK@0.2: torso size = the lsho(9)..rhip(2) diagonal per the
+    person-centric protocol's MATLAB lineage (1-indexed joints 10 and 3)
+    — 14-joint LSP order: 2=rhip, 3=lhip, 8=rsho, 9=lsho, 12=neck,
+    13=head."""
     preds = np.asarray(preds, np.float64)
     gts = np.asarray(gts, np.float64)
     N, K, _ = preds.shape

@@ -110,6 +110,10 @@ class PosePredictor:
             num_feats=cfg.model.feats,
             depth=cfg.model.depth,
             dtype=jnp.bfloat16 if cfg.model.bf16 else jnp.float32,
+            # scan-trained checkpoints stack params under one module —
+            # the serving model must match the training layout
+            scan_stacks=cfg.model.scan_stacks,
+            remat=cfg.model.remat or cfg.model.scan_stacks,
         )
         path = checkpoint
         if os.path.isdir(os.path.join(checkpoint, "best")) and best:

@@ -54,7 +54,7 @@ from posetpu.aug.pipeline import (
     per_sample_keys,
     sample_aug_params_ps,
 )
-from posetpu.eval.decode import accuracy
+from posetpu.eval.decode import accuracy, pck_counts, pck_from_counts
 from posetpu.models.agent import (
     occlusion_tree_logp,
     part_occlusion_boxes,
@@ -640,14 +640,18 @@ def make_joint_step(
             agent_tx, state.agent, agent_grads, new_agent_bs, do_update
         )
 
-        acc = accuracy(
+        # global counts then ratio (same rule as make_train_step): pmean
+        # of per-shard PCK ratios is not the single-device PCK
+        hit, cnt = pck_counts(
             last.astype(jnp.float32).transpose(0, 3, 1, 2),
             target_a.transpose(0, 3, 1, 2),
-        )[0]
+        )
         advantage = jnp.mean(l_adv - l_ref)
         if axis_name is not None:
-            acc = jax.lax.pmean(acc, axis_name)
+            hit = jax.lax.psum(hit, axis_name)
+            cnt = jax.lax.psum(cnt, axis_name)
             advantage = jax.lax.pmean(advantage, axis_name)
+        acc = pck_from_counts(hit, cnt)[0]
 
         new_state = JointState(
             pose=TrainState(

@@ -371,7 +371,13 @@ class Experiment:
             self.state, metrics = self.train_step(self.state, batch, sub)
             seen += batch["image"].shape[0]
             device_metrics.append(metrics)
-        jax.block_until_ready(device_metrics[-1] if device_metrics else None)
+        if device_metrics:
+            # real sync before taking dt: on the tunneled TPU
+            # block_until_ready returns EARLY (the round-1 ~13x timing
+            # inflation, BASELINE.md) — only a device->host VALUE fetch
+            # is an honest end-of-epoch barrier.  The last step's metrics
+            # depend on the whole state chain, so one scalar suffices.
+            float(next(iter(device_metrics[-1].values())))
         dt = time.time() - t0
         meters = {}
         for metrics in device_metrics:

@@ -120,11 +120,17 @@ def make_train_step(
             loss = jax.lax.pmean(loss, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        acc = accuracy(
+        # global PCK = ratio of GLOBAL hit/total counts — pmean of
+        # per-shard ratios diverges from the single-device value whenever
+        # shards have different per-joint valid counts (the rule
+        # pck_counts documents; make_eval_step already does this)
+        hit, cnt = pck_counts(
             last.astype(jnp.float32).transpose(0, 3, 1, 2), aug["target"]
-        )[0]
+        )
         if axis_name is not None:
-            acc = jax.lax.pmean(acc, axis_name)
+            hit = jax.lax.psum(hit, axis_name)
+            cnt = jax.lax.psum(cnt, axis_name)
+        acc = pck_from_counts(hit, cnt)[0]
         new_state = TrainState(
             params=new_params,
             batch_stats=new_bs,
