@@ -77,6 +77,7 @@ class Experiment:
         self.mean, self.std = self.train_ds.mean_std()
         self.std = None  # reference normalizes by mean subtraction only
 
+        self._check_pad_hw()
         n_dev = cfg.num_devices or jax.local_device_count()
         n_dev = min(n_dev, jax.local_device_count())
         self.dp = n_dev > 1
@@ -288,6 +289,40 @@ class Experiment:
             self._init_pose_from(cfg.init_pose_from)
         if cfg.resume:
             self._resume(cfg.resume)
+
+    def _check_pad_hw(self):
+        """Warn when the largest person's worst-case crop box outruns the
+        pre-pad window: the loader's canvas crop would sample zeros where
+        the reference's host crop reads real pixels (see
+        data.loader.load_sample).  One pass over annotation scales (no
+        decode), once at init."""
+        import warnings
+
+        cfg = self.cfg
+        try:
+            max_scale = max(
+                (self.train_ds.meta(i)[1] for i in range(len(self.train_ds))),
+                default=0.0,
+            )
+        except Exception:
+            return
+        # box side = 200 * scale * max aug scale-up (mirrors sample_aug_params'
+        # clipping: exp mode tops out at 2^(2*scale_factor))
+        aug_up = (
+            2.0 ** (2 * cfg.aug.scale_factor)
+            if cfg.aug.scale_mode == "exp"
+            else 1.0 + cfg.aug.scale_factor
+        )
+        box = 200.0 * max_scale * aug_up
+        if box > min(cfg.pad_hw):
+            warnings.warn(
+                f"largest person's crop box (~{box:.0f}px at scale "
+                f"{max_scale:.2f} with aug x{aug_up:.2f}) exceeds "
+                f"pad_hw={tuple(cfg.pad_hw)}; such crops read zero padding "
+                f"where the reference reads image pixels — raise pad_hw "
+                f"(static shape: one recompile) to cover the dataset",
+                stacklevel=2,
+            )
 
     def _dump_config(self):
         import dataclasses

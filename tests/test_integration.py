@@ -260,6 +260,48 @@ class TestObservability:
         assert os.path.exists(os.path.join(run_dir, "log.txt"))
 
 
+class TestPadHwCheck:
+    def test_warns_when_person_outruns_window(self, synth, tmp_path):
+        import warnings
+
+        from posetpu.train.loop import Experiment
+
+        cfg = named_config("hg2_mpii_mini")
+        cfg.model.stacks = 1
+        cfg.model.feats = 8
+        cfg.aug.inp_res = (64, 64)
+        cfg.aug.out_res = (16, 16)
+        cfg.batch_size = 4
+        cfg.num_devices = 1
+        cfg.synthetic = False
+        cfg.annotations = synth.samples[0].img_path.rsplit("/images", 1)[0] + "/annotations.json"
+        cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+        cfg.pad_hw = (64, 64)  # far smaller than any person box
+        cfg.optim.epochs = 1
+        cfg.steps_per_epoch = 1
+        cfg.checkpoint_dir = str(tmp_path)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            Experiment(cfg)
+        assert any("pad_hw" in str(x.message) for x in w)
+
+        cfg2 = named_config("hg2_mpii_mini")
+        cfg2.model.stacks = 1
+        cfg2.model.feats = 8
+        cfg2.batch_size = 4
+        cfg2.num_devices = 1
+        cfg2.synthetic = False
+        cfg2.annotations = cfg.annotations
+        cfg2.images_dir = cfg.images_dir
+        cfg2.pad_hw = (1024, 1024)  # generous window: silent
+        cfg2.steps_per_epoch = 1
+        cfg2.checkpoint_dir = str(tmp_path / "b")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            Experiment(cfg2)
+        assert not any("pad_hw" in str(x.message) for x in w)
+
+
 class TestGrainLoader:
     def test_same_contract_as_hostloader(self, synth):
         from posetpu.data.grain_pipeline import GrainLoader
