@@ -240,13 +240,18 @@ def run_bench_serve(batch=64, stacks=8, feats=128, steps=20, warmup=2,
 
 def run_bench_loader(
     batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256,
-    backend="host", workers=0,
+    backend="host", workers=0, group=1,
 ):
     """End-to-end loader-fed steady state: decode on host (HostLoader or
     grain), everything else on device.  The number is the audit trail for
-    the duty-cycle projection in BASELINE.md — on a 1-core build host it is
-    decode-bound by design (SURVEY.md §7 hard-part 4); on a multi-core TPU
-    host it should approach the device-resident number from run_bench."""
+    the duty-cycle projection in BASELINE.md — on a 1-core build host the
+    per-dispatch path (group=1) is relay+decode-bound by design (SURVEY.md
+    §7 hard-part 4).  ``group=K`` measures the PRODUCTION K-steps-per-
+    dispatch path (Experiment steps_per_dispatch): the loader stacks K
+    batches per superbatch and one lax.scan dispatch runs K optimizer
+    steps, amortizing the ~100 ms host relay over K device steps.
+    ``steps`` counts optimizer steps in both modes; the final loss fetch is
+    the only sync (the state chain makes the wall time honest)."""
     import tempfile
 
     import jax
@@ -255,15 +260,25 @@ def run_bench_loader(
     from posetpu.data import HostLoader, MpiiDataset, make_synthetic_dataset
     from posetpu.data.grain_pipeline import GrainLoader
     from posetpu.models import hg
-    from posetpu.train import TrainState, make_train_step
+    from posetpu.train import TrainState, fuse_steps, make_train_step
     from posetpu.train.state import make_optimizer
     import jax.numpy as jnp
 
     root = os.path.join(tempfile.gettempdir(), "posetpu_bench_synth")
     ann = os.path.join(root, "annotations.json")
+    # dataset must cover one full epoch of whole groups (a ragged final
+    # group would recompile the scan at a second length)
+    need = max(group * batch, 4 * batch, 64)
+    if os.path.exists(ann):
+        from posetpu.data import schema
+
+        if len(schema.load_annotations(ann)) < need + 8:
+            import shutil
+
+            shutil.rmtree(root)
     if not os.path.exists(ann):
         make_synthetic_dataset(
-            root, num_train=max(4 * batch, 64), num_val=8, res=(640, 480)
+            root, num_train=need, num_val=8, res=(640, 480)
         )
     ds = MpiiDataset(ann, os.path.join(root, "images"), split="train")
 
@@ -279,7 +294,7 @@ def run_bench_loader(
 
         # async H2D in the prefetch thread (same as Experiment's default)
         kw = {"place": make_batch_placer(None)}
-    loader = cls(ds, batch, pad_hw=pad_hw, seed=0, **kw)
+    loader = cls(ds, batch, pad_hw=pad_hw, seed=0, group=group, **kw)
 
     model = hg(num_stacks=stacks, num_blocks=1, num_classes=16, num_feats=feats)
     tx = make_optimizer(cfg.optim, 1000)
@@ -291,10 +306,6 @@ def run_bench_loader(
         opt_state=tx.init(v["params"]),
         step=jnp.zeros((), jnp.int32),
     )
-    step = jax.jit(
-        make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43)),
-        donate_argnums=(0,),
-    )
 
     def batches():
         while True:  # endless epochs
@@ -302,6 +313,24 @@ def run_bench_loader(
 
     it = batches()
     key = jax.random.PRNGKey(0)
+    if group > 1:
+        step = jax.jit(
+            fuse_steps(make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43))),
+            donate_argnums=(0,),
+        )
+        n_dispatch = -(-steps // group)
+        for _ in range(warmup):
+            state, key, m = step(state, next(it), key)
+        float(m["loss"][-1])  # real sync (block_until_ready lies here)
+        t0 = time.perf_counter()
+        for _ in range(n_dispatch):
+            state, key, m = step(state, next(it), key)
+        float(m["loss"][-1])
+        return batch * group * n_dispatch / (time.perf_counter() - t0)
+    step = jax.jit(
+        make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43)),
+        donate_argnums=(0,),
+    )
     for _ in range(warmup):
         key, sub = jax.random.split(key)
         state, m = step(state, next(it), sub)
@@ -328,6 +357,21 @@ def main():
         "device-resident step (decode included)",
     )
     ap.add_argument("--loader-workers", type=int, default=0)
+    ap.add_argument(
+        "--k-per-dispatch", type=int, default=1,
+        help="with --loader: fuse K train steps per dispatch (the "
+        "production steps_per_dispatch path; lax.scan over K stacked "
+        "batches)",
+    )
+    ap.add_argument(
+        "--trials", type=int, default=None,
+        help="median-of-N whole-program timing calls (device-resident mode)",
+    )
+    ap.add_argument(
+        "--scan-stacks", action="store_true",
+        help="benchmark the nn.scan+remat stack layout "
+        "(device-resident mode)",
+    )
     ap.add_argument(
         "--joint", action="store_true",
         help="benchmark the full adversarial (ASR) minimax step",
@@ -360,16 +404,26 @@ def main():
     if args.loader:
         kw["backend"] = args.loader
         kw["workers"] = args.loader_workers
+        kw["group"] = args.k_per_dispatch
         ips = run_bench_loader(**kw)
-        metric = f"images/sec/chip (loader-fed end-to-end, {args.loader})"
+        k = args.k_per_dispatch
+        metric = (
+            f"images/sec/chip (loader-fed end-to-end, {args.loader}"
+            + (f", K={k}/dispatch)" if k > 1 else ")")
+        )
     elif args.joint:
         ips = run_bench_joint(**kw)
         metric = "images/sec/chip (joint adversarial minimax step)"
     elif args.serve:
-        kw["batch"] = args.batch or 64
+        if args.batch is None and not args.quick:
+            kw["batch"] = 64  # serving sweet spot; --quick keeps batch 4
         ips = run_bench_serve(**kw)
         metric = "images/sec/chip (serving: warp+forward+decode)"
     else:
+        if args.trials:
+            kw["trials"] = args.trials
+        if args.scan_stacks:
+            kw["scan_stacks"] = True
         try:
             ips = run_bench(**kw)
         except Exception as e:  # OOM fallback: halve the batch once

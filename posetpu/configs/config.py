@@ -105,6 +105,13 @@ class ExperimentConfig:
     init_pose_from: str = ""
     seed: int = 0
     num_devices: Optional[int] = None  # None = all visible
+    # K train steps fused into ONE device dispatch (lax.scan over K
+    # loader batches stacked to (K, B, ...)): amortizes the per-dispatch
+    # host relay cost so the production loop runs at the device rate even
+    # on dispatch-slow hosts (BASELINE.md duty-cycle section).  Trade-off:
+    # checkpoint/log granularity stays per-epoch, but a mid-epoch
+    # interrupt loses up to K steps instead of 1.
+    steps_per_dispatch: int = 1
     synthetic: bool = False  # build a synthetic mini-split on the fly
     steps_per_epoch: Optional[int] = None  # cap (smoke tests)
     eval_every: int = 1
@@ -200,6 +207,7 @@ _FLAGS = {
     "--agent-update-every": ("agent.update_every", int),
     "--loader-backend": ("loader_backend", str),
     "--loader-workers": ("loader_workers", int),
+    "--steps-per-dispatch": ("steps_per_dispatch", int),
 }
 
 

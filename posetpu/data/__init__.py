@@ -4,7 +4,7 @@ decode-only host loader (SURVEY.md §2 C1/C2/C15)."""
 from posetpu.data.schema import SampleMeta, dump_annotations, load_annotations
 from posetpu.data.datasets import LspDataset, MpiiDataset, PoseDataset
 from posetpu.data.synthetic import make_synthetic_dataset
-from posetpu.data.loader import HostLoader, load_sample, pad_batch
+from posetpu.data.loader import HostLoader, group_stack, load_sample, pad_batch
 
 __all__ = [
     "SampleMeta",
@@ -16,5 +16,6 @@ __all__ = [
     "make_synthetic_dataset",
     "HostLoader",
     "load_sample",
+    "group_stack",
     "pad_batch",
 ]

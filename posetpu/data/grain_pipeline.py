@@ -13,7 +13,7 @@ from __future__ import annotations
 import grain.python as pg
 import numpy as np
 
-from posetpu.data.loader import load_sample, threaded_place_iter
+from posetpu.data.loader import group_stack, load_sample, threaded_place_iter
 
 
 class _DecodeSample(pg.MapTransform):
@@ -47,6 +47,7 @@ class GrainLoader:
         # prefetches via worker buffers; no-op in-process)
         backend=None,  # ditto
         place=None,  # same async-H2D hook as HostLoader(place=...)
+        group=1,  # stack K batches per (K, B, ...) superbatch, as HostLoader
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,6 +57,9 @@ class GrainLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.place = place
+        if group < 1:
+            raise ValueError(f"group must be >= 1, got {group}")
+        self.group = group
         self.epoch = 0
         self._source = pg.InMemoryDataSource(list(range(len(dataset))))
 
@@ -91,10 +95,13 @@ class GrainLoader:
             for batch in loader:
                 yield {k: np.asarray(v) for k, v in batch.items()}
 
+        src = batches()
+        if self.group > 1:
+            src = group_stack(src, self.group)
         if self.place is None:
-            yield from batches()
+            yield from src
         else:
             # grain iterates on the consumer thread; a plain place() here
             # would serialize the H2D with the train loop — run it in a
             # background thread like HostLoader does
-            yield from threaded_place_iter(batches(), self.place)
+            yield from threaded_place_iter(src, self.place)

@@ -101,12 +101,31 @@ def pad_batch(batch, size):
     return out
 
 
+def group_stack(src_iter, group):
+    """Stack every ``group`` consecutive batches into one superbatch whose
+    leaves carry a leading (K, ...) group dim — the input contract of the
+    K-steps-per-dispatch fused train step (``posetpu.train.fuse_steps``).
+    The final group of an epoch may be smaller (K' < group); callers
+    compile once per distinct K (at most two programs per run)."""
+    buf = []
+    for b in src_iter:
+        buf.append(b)
+        if len(buf) == group:
+            yield {k: np.stack([it[k] for it in buf]) for k in buf[0]}
+            buf = []
+    if buf:
+        yield {k: np.stack([it[k] for it in buf]) for k in buf[0]}
+
+
 def threaded_place_iter(src_iter, place, prefetch=2):
     """Drive ``src_iter`` from a background thread and apply ``place``
-    (async H2D) there — for loaders whose own iteration happens on the
-    consumer thread (GrainLoader), so the device transfer still overlaps
-    the training step.  Same abandon-safe queue discipline as
-    HostLoader.__iter__."""
+    (async H2D) there, so host work (decode/collate/stack) and the device
+    transfer overlap the training step.  HostLoader.__iter__ and
+    GrainLoader both build on this; the queue discipline is abandon-safe:
+    an early-exited consumer (steps_per_epoch cap, test break, generator
+    GC) releases the producer thread and drops prefetched batches —
+    with ``place`` those are DEVICE buffers, so a stranded producer would
+    leak HBM, not just host RAM."""
     q = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
@@ -166,13 +185,19 @@ class HostLoader:
         prefetch=2,
         backend="auto",
         place=None,
+        group=1,
     ):
         """``place``: optional callable applied to each collated numpy
         batch INSIDE the prefetch thread — pass a ``jax.device_put`` (with
         a NamedSharding for DP, see ``posetpu.parallel.make_batch_placer``)
         so the host->device transfer overlaps the previous step's device
         compute instead of serializing at dispatch (SURVEY.md §7
-        hard-part 4: transfer overlap)."""
+        hard-part 4: transfer overlap).
+
+        ``group``: stack this many consecutive batches into one (K, B, ...)
+        superbatch before ``place`` — feeds the K-steps-per-dispatch fused
+        train step (``posetpu.train.fuse_steps``).  ``len(self)`` stays in
+        units of train STEPS (batches), not dispatches."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_hw = pad_hw
@@ -181,6 +206,9 @@ class HostLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.place = place
+        if group < 1:
+            raise ValueError(f"group must be >= 1, got {group}")
+        self.group = group
         self.epoch = 0
         self._decoder = None
         if backend in ("auto", "native"):
@@ -241,65 +269,26 @@ class HostLoader:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         return idx
 
+    def _batches(self, order):
+        """Plain generator of collated numpy batches for one epoch —
+        decode runs wherever this generator is driven from (the prefetch
+        thread, via threaded_place_iter)."""
+        for b in range(len(self)):
+            sel = order[b * self.batch_size : (b + 1) * self.batch_size]
+            if self._decoder is not None:
+                yield self._native_batch(sel)
+            else:
+                yield _collate(
+                    [load_sample(self.dataset, int(i), self.pad_hw) for i in sel]
+                )
+
     def __iter__(self):
         order = self._order()
         self.epoch += 1
-        nb = len(self)
-        q = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-
-        def _put(item):
-            """q.put that gives up when the consumer abandoned us —
-            otherwise an early-exited epoch (steps_per_epoch cap, test
-            break) strands this thread blocked on a full queue holding
-            prefetched batches forever; with ``place`` those batches are
-            DEVICE buffers, so the strand leaks HBM, not just host RAM."""
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def produce():
-            try:
-                for b in range(nb):
-                    if stop.is_set():
-                        return
-                    sel = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    if self._decoder is not None:
-                        batch = self._native_batch(sel)
-                    else:
-                        items = [
-                            load_sample(self.dataset, int(i), self.pad_hw)
-                            for i in sel
-                        ]
-                        batch = _collate(items)
-                    if self.place is not None:  # async H2D off-thread
-                        batch = self.place(batch)
-                    if not _put(batch):
-                        return
-                _put(None)
-            except BaseException as e:  # propagate instead of deadlocking
-                _put(e)
-
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
-        try:
-            while True:
-                batch = q.get()
-                if batch is None:
-                    return
-                if isinstance(batch, BaseException):
-                    raise batch
-                yield batch
-        finally:
-            # consumer done (normal end, break, or GC of the generator):
-            # release the producer and drop any prefetched batches
-            stop.set()
-            try:
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
+        src = self._batches(order)
+        if self.group > 1:
+            src = group_stack(src, self.group)
+        place = self.place if self.place is not None else (lambda b: b)
+        # decode + collate + stack + async H2D all run in the producer
+        # thread; the consumer only dequeues ready (device) batches
+        yield from threaded_place_iter(src, place, prefetch=self.prefetch)

@@ -7,7 +7,8 @@ from posetpu.parallel.dp import (
     make_batch_placer,
     make_mesh,
     shard_eval_step,
+    shard_fused_train_step,
     shard_train_step,
 )
 
-__all__ = ["DATA_AXIS", "make_batch_placer", "make_mesh", "shard_eval_step", "shard_train_step"]
+__all__ = ["DATA_AXIS", "make_batch_placer", "make_mesh", "shard_eval_step", "shard_fused_train_step", "shard_train_step"]

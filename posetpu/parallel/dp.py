@@ -53,14 +53,31 @@ def shard_train_step(train_step, mesh, axis=DATA_AXIS, donate=True):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
-def make_batch_placer(mesh=None, axis=DATA_AXIS):
+def shard_fused_train_step(fused_step, mesh, axis=DATA_AXIS, donate=True):
+    """DP wrapper for a K-steps-per-dispatch step (``fuse_steps``):
+    ``(state, superbatch, key) -> (state, key, metrics)`` with superbatch
+    leaves shaped (K, B, ...) — the batch axis to shard is dim 1 (dim 0 is
+    the scan/group axis, identical on every chip)."""
+    fn = _shard_map(
+        fused_step,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_batch_placer(mesh=None, axis=DATA_AXIS, stacked=False):
     """Callable for ``HostLoader(place=...)``: device_put each batch from
     the loader's prefetch thread so H2D overlaps device compute.  With a
-    mesh, arrays land pre-sharded along the data axis (leading dim), so the
-    sharded step's dispatch does no implicit re-transfer."""
+    mesh, arrays land pre-sharded along the data axis (leading dim — dim 1
+    when ``stacked``, i.e. the loader groups K batches per dispatch), so
+    the sharded step's dispatch does no implicit re-transfer."""
     if mesh is None:
         return jax.device_put
-    sharding = jax.sharding.NamedSharding(mesh, P(axis))
+    spec = P(None, axis) if stacked else P(axis)
+    sharding = jax.sharding.NamedSharding(mesh, spec)
     return lambda batch: jax.device_put(batch, sharding)
 
 

@@ -2,7 +2,12 @@
 CLI (SURVEY.md §2 C7/C8, §3.1/3.2)."""
 
 from posetpu.train.state import TrainState, lr_schedule, make_optimizer
-from posetpu.train.step import make_eval_step, make_train_step, stacked_mse
+from posetpu.train.step import (
+    fuse_steps,
+    make_eval_step,
+    make_train_step,
+    stacked_mse,
+)
 from posetpu.train.adversarial import (
     JointState,
     apply_occlusion,
@@ -16,6 +21,7 @@ __all__ = [
     "lr_schedule",
     "make_optimizer",
     "make_eval_step",
+    "fuse_steps",
     "make_train_step",
     "stacked_mse",
     "JointState",

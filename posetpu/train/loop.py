@@ -44,8 +44,9 @@ from posetpu.train.adversarial import (
     make_joint_step,
     make_joint_step_split,
 )
+from posetpu.parallel.dp import shard_fused_train_step
 from posetpu.train.state import TrainState, make_optimizer
-from posetpu.train.step import make_eval_step, make_train_step
+from posetpu.train.step import fuse_steps, make_eval_step, make_train_step
 from posetpu.utils.logger import AverageMeter, Logger
 
 
@@ -114,14 +115,26 @@ class Experiment:
                 f"unknown loader_backend {cfg.loader_backend!r} "
                 "(expected 'host' or 'grain')"
             )
+        self.K = max(1, cfg.steps_per_dispatch)
+        if self.K > 1 and cfg.agent.enabled and not self.dp:
+            # the single-chip joint path is the split (multi-dispatch)
+            # variant, which cannot ride inside one lax.scan program
+            raise ValueError(
+                "steps_per_dispatch > 1 requires a scannable train step; "
+                "the single-chip joint (agent) path uses the split-program "
+                "variant (see make_joint_step_split) — run the joint config "
+                "under DP or with steps_per_dispatch=1"
+            )
         self.loader = loader_cls(
             self.train_ds,
             cfg.batch_size,
             pad_hw=tuple(cfg.pad_hw),
             seed=cfg.seed,
             # async H2D in the producer: train batches land on device
-            # (pre-sharded under DP) while the previous step runs
-            place=make_batch_placer(self.mesh),
+            # (pre-sharded under DP) while the previous step runs.
+            # group=K stacks K batches per dispatch for the fused step.
+            place=make_batch_placer(self.mesh, stacked=self.K > 1),
+            group=self.K,
             **loader_kw,
         )
         self.val_loader = loader_cls(
@@ -255,7 +268,12 @@ class Experiment:
             axis_name=self.axis,
         )
         if self.dp:
-            self.train_step = shard_train_step(raw_step, self.mesh)
+            if self.K > 1:
+                self.train_step = shard_fused_train_step(
+                    fuse_steps(raw_step), self.mesh
+                )
+            else:
+                self.train_step = shard_train_step(raw_step, self.mesh)
             self.eval_step = shard_eval_step(self._eval_on_pose(raw_eval), self.mesh)
         elif cfg.agent.enabled:
             # split joint step is internally jitted stage-by-stage; an outer
@@ -263,7 +281,12 @@ class Experiment:
             self.train_step = raw_step
             self.eval_step = jax.jit(self._eval_on_pose(raw_eval))
         else:
-            self.train_step = jax.jit(raw_step, donate_argnums=(0,))
+            if self.K > 1:
+                self.train_step = jax.jit(
+                    fuse_steps(raw_step), donate_argnums=(0,)
+                )
+            else:
+                self.train_step = jax.jit(raw_step, donate_argnums=(0,))
             self.eval_step = jax.jit(self._eval_on_pose(raw_eval))
 
         self.ckpt = CheckpointManager(
@@ -399,26 +422,44 @@ class Experiment:
         device_metrics = []
         t0 = time.time()
         seen = 0
-        for i, batch in enumerate(self.loader):
-            if i >= self.steps_per_epoch:
-                break
-            key, sub = jax.random.split(key)
-            self.state, metrics = self.train_step(self.state, batch, sub)
-            seen += batch["image"].shape[0]
+        steps_done = 0
+        for batch in self.loader:
+            if self.K > 1:
+                # superbatch (k, B, ...): one dispatch = k fused steps;
+                # trim the last group when it would cross the epoch cap
+                # (a one-time extra compile for the trimmed length)
+                k = batch["image"].shape[0]
+                if steps_done + k > self.steps_per_epoch:
+                    k = self.steps_per_epoch - steps_done
+                    batch = jax.tree.map(lambda x: x[:k], batch)
+                self.state, key, metrics = self.train_step(
+                    self.state, batch, key
+                )
+                seen += k * batch["image"].shape[1]
+            else:
+                key, sub = jax.random.split(key)
+                self.state, metrics = self.train_step(self.state, batch, sub)
+                seen += batch["image"].shape[0]
+                k = 1
             device_metrics.append(metrics)
+            steps_done += k
+            if steps_done >= self.steps_per_epoch:
+                break
         if device_metrics:
             # real sync before taking dt: on the tunneled TPU
             # block_until_ready returns EARLY (the round-1 ~13x timing
             # inflation, BASELINE.md) — only a device->host VALUE fetch
             # is an honest end-of-epoch barrier.  The last step's metrics
             # depend on the whole state chain, so one scalar suffices.
-            float(next(iter(device_metrics[-1].values())))
+            np.asarray(next(iter(device_metrics[-1].values())))
         dt = time.time() - t0
         meters = {}
         for metrics in device_metrics:
-            for k, v in metrics.items():
-                meters.setdefault(k, AverageMeter()).update(float(v))
-        out = {k: m.avg for k, m in meters.items()}
+            for k_, v in metrics.items():
+                m = meters.setdefault(k_, AverageMeter())
+                for x in np.atleast_1d(np.asarray(v)):  # (k,) when fused
+                    m.update(float(x))
+        out = {k_: m.avg for k_, m in meters.items()}
         out["images_per_sec"] = seen / dt if dt > 0 else 0.0
         return out, key
 

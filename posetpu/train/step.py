@@ -142,6 +142,35 @@ def make_train_step(
     return train_step
 
 
+def fuse_steps(step):
+    """Wrap a ``(state, batch, key) -> (state, metrics)`` step into a
+    K-steps-per-dispatch program: ``(state, superbatch, key) -> (state,
+    key, metrics)`` where every ``superbatch`` leaf carries a leading
+    group dim K (K stacked loader batches, see ``HostLoader(group=K)``)
+    and each metrics value comes back as a (K,) array.
+
+    One dispatch then performs K real optimizer updates via ``lax.scan``
+    — the mechanism that amortizes the per-dispatch host relay cost over
+    K device steps (BASELINE.md duty-cycle section; SURVEY.md §7
+    hard-part 4).  The PRNG chain inside the scan is the same
+    ``key, sub = jax.random.split(key)`` the sequential epoch loop uses,
+    so K fused steps are bit-identical to K sequential steps on the same
+    batches (tested: tests/test_train_step.py::TestFusedDispatch).
+    """
+
+    def fused(state, superbatch, key):
+        def body(carry, b):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, m = step(st, b, sub)
+            return (st, k), m
+
+        (state, key), metrics = jax.lax.scan(body, (state, key), superbatch)
+        return state, key, metrics
+
+    return fused
+
+
 def make_eval_step(model, aug_cfg, mean, std=None, axis_name=None):
     """Validation step (SURVEY.md §3.3): neutral crop, forward, train-time
     PCK + full decode back to source coords for offline PCKh / preds.mat.

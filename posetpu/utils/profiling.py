@@ -89,3 +89,38 @@ def measure_duty_cycle(step_fn, state, loader, key, max_steps=30):
     float(_metric_scalar(m))  # real sync: the state chain forces every step
     t_wall = (time.perf_counter() - t0) / max(n, 1)
     return min(t_dev / t_wall, 1.0), t_dev, t_wall
+
+
+def measure_duty_cycle_fused(step_fn, state, loader, key, max_dispatches=8):
+    """Duty cycle of the PRODUCTION K-steps-per-dispatch path
+    (``Experiment(steps_per_dispatch=K)``): ``loader`` must be configured
+    with ``group=K`` so it yields (K, B, ...) superbatches; each dispatch
+    is one ``fuse_steps`` lax.scan program running K optimizer updates.
+    Device-only reference time comes from :func:`time_device_step` on one
+    constituent batch.  Returns (duty, t_device_per_step, t_wall_per_step).
+    """
+    from posetpu.train.step import fuse_steps
+
+    def endless():
+        while True:
+            yield from loader
+
+    it = endless()
+    first = next(it)
+    k = jax.tree.leaves(first)[0].shape[0]
+    single = jax.tree.map(lambda x: x[0], first)
+    t_dev, state = time_device_step(step_fn, state, single, key)
+
+    fused = jax.jit(fuse_steps(step_fn))
+    state, key, m = fused(state, first, key)  # compile + warm
+    float(_metric_scalar(m)[-1])
+
+    n = 0
+    t0 = time.perf_counter()
+    m = None
+    while n < max_dispatches:
+        state, key, m = fused(state, next(it), key)
+        n += 1
+    float(_metric_scalar(m)[-1])  # the state chain forces every dispatch
+    t_wall = (time.perf_counter() - t0) / max(n * k, 1)
+    return min(t_dev / t_wall, 1.0), t_dev, t_wall

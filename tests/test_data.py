@@ -238,3 +238,58 @@ class TestGrainLoader:
         sizes = [b["image"].shape[0] for b in loader]
         assert sizes == [5, 5, 2]
         assert len(loader) == 3
+
+
+class TestGroupedBatches:
+    """HostLoader(group=K): K consecutive batches stack into one
+    (K, B, ...) superbatch — the input of the K-steps-per-dispatch fused
+    train step (posetpu.train.fuse_steps)."""
+
+    def test_group_stacks_consecutive_batches(self, synth_dir):
+        path = os.path.join(synth_dir, "annotations.json")
+        imgs = os.path.join(synth_dir, "images")
+        ds = MpiiDataset(path, imgs, split="train")
+        plain = list(HostLoader(ds, batch_size=4, pad_hw=(256, 384), seed=5))
+        grouped = list(
+            HostLoader(ds, batch_size=4, pad_hw=(256, 384), seed=5, group=2)
+        )
+        # 3 plain batches -> one full group of 2 + a ragged final group of 1
+        assert len(plain) == 3 and len(grouped) == 2
+        assert grouped[0]["image"].shape == (2, 4, 256, 384, 3)
+        assert grouped[1]["image"].shape == (1, 4, 256, 384, 3)
+        for k in plain[0]:
+            np.testing.assert_array_equal(
+                grouped[0][k], np.stack([plain[0][k], plain[1][k]])
+            )
+            np.testing.assert_array_equal(grouped[1][k], plain[2][k][None])
+
+    def test_group_applies_place_to_superbatch(self, synth_dir):
+        path = os.path.join(synth_dir, "annotations.json")
+        imgs = os.path.join(synth_dir, "images")
+        ds = MpiiDataset(path, imgs, split="train")
+        seen_shapes = []
+
+        def place(b):
+            seen_shapes.append(b["image"].shape)
+            return b
+
+        list(
+            HostLoader(
+                ds, batch_size=4, pad_hw=(256, 384), seed=5, group=2,
+                place=place,
+            )
+        )
+        # place() receives STACKED superbatches (stack happens producer-side)
+        assert seen_shapes == [(2, 4, 256, 384, 3), (1, 4, 256, 384, 3)]
+
+    def test_grain_group_matches_hostloader_shape(self, synth_dir):
+        from posetpu.data.grain_pipeline import GrainLoader
+
+        path = os.path.join(synth_dir, "annotations.json")
+        imgs = os.path.join(synth_dir, "images")
+        ds = MpiiDataset(path, imgs, split="train")
+        grouped = list(
+            GrainLoader(ds, batch_size=4, pad_hw=(256, 384), seed=5, group=2)
+        )
+        assert grouped[0]["image"].shape == (2, 4, 256, 384, 3)
+        assert grouped[-1]["image"].shape[0] in (1, 2)

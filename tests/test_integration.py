@@ -388,3 +388,76 @@ class TestPhase2Flow:
         np.testing.assert_array_equal(p1_leaf, p2_leaf)
         state, best = exp2.fit(progress=lambda *_: None)
         assert np.isfinite(best)
+
+
+class TestStepsPerDispatch:
+    """steps_per_dispatch=K through the full Experiment wiring: the loader
+    groups K batches, train_epoch drives the fused lax.scan step, and the
+    trained state matches the K=1 run (same seeds -> same batches and the
+    same PRNG chain)."""
+
+    @pytest.mark.slow
+    def test_fused_epoch_matches_per_step_epoch(self, synth, tmp_path):
+        from posetpu.train.loop import Experiment
+
+        def run(k, name):
+            cfg = named_config("hg2_mpii_mini")
+            cfg.model.stacks = 1
+            cfg.model.feats = 8
+            cfg.model.bf16 = False  # exact-math comparison
+            cfg.aug.inp_res = (64, 64)
+            cfg.aug.out_res = (16, 16)
+            cfg.batch_size = 4
+            cfg.synthetic = False
+            cfg.annotations = synth.samples[0].img_path.rsplit(
+                "/images", 1
+            )[0] + "/annotations.json"
+            cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+            cfg.pad_hw = (256, 384)
+            cfg.optim.epochs = 1
+            # cap 3 with K=2 also exercises the trim-at-cap path (the
+            # second group of 2 is sliced to 1 inside train_epoch); kept
+            # to 3 optimizer steps because fp reassociation noise between
+            # the scanned and standalone step programs is amplified
+            # through RMSprop's eps-dominated early second moments
+            cfg.steps_per_epoch = 3
+            cfg.num_devices = 1
+            cfg.steps_per_dispatch = k
+            cfg.checkpoint_dir = str(tmp_path / name)
+            cfg.name = name
+            exp = Experiment(cfg)
+            state, best = exp.fit(progress=lambda *_: None)
+            return state
+
+        s1 = run(1, "k1")
+        s2 = run(2, "k2")
+        assert int(s1.step) == int(s2.step) == 3
+        # wiring test, not an exactness proof (that is
+        # test_train_step.py::TestFusedDispatch): three RMSprop steps with
+        # eps-dominated second moments amplify the scanned-vs-standalone
+        # program's fp reassociation noise to ~5e-4 on isolated elements
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-2
+            )
+
+    def test_single_chip_joint_split_rejects_fusion(self, synth, tmp_path):
+        from posetpu.train.loop import Experiment
+
+        cfg = named_config("hg2_mpii_mini")
+        cfg.model.stacks = 1
+        cfg.model.feats = 8
+        cfg.aug.inp_res = (64, 64)
+        cfg.aug.out_res = (16, 16)
+        cfg.agent.enabled = True
+        cfg.batch_size = 4
+        cfg.synthetic = False
+        cfg.annotations = synth.samples[0].img_path.rsplit(
+            "/images", 1
+        )[0] + "/annotations.json"
+        cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+        cfg.num_devices = 1
+        cfg.steps_per_dispatch = 4
+        cfg.checkpoint_dir = str(tmp_path)
+        with pytest.raises(ValueError, match="steps_per_dispatch"):
+            Experiment(cfg)

@@ -216,3 +216,115 @@ class TestDataParallel:
         metrics, preds = ev(state, batch)
         assert preds.shape == (16, 16, 2)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestFusedDispatch:
+    """K-steps-per-dispatch fusion (fuse_steps + HostLoader(group=K)):
+    one lax.scan dispatch must be numerically the K sequential steps —
+    the mechanism the production loop uses to amortize per-dispatch host
+    relay cost (BASELINE.md duty-cycle section)."""
+
+    def test_fused_equals_sequential(self, synth):
+        from posetpu.train.step import fuse_steps
+
+        cfg = _tiny_cfg()
+        model = hg(num_stacks=1, num_feats=16, num_classes=16, dtype=jnp.float32)
+        tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=True)
+        state0 = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        step = make_train_step(model, tx, cfg.aug, MEAN)
+        batches = list(HostLoader(synth, 4, pad_hw=(256, 384), seed=0))[:3]
+        K = len(batches)
+        assert K == 3
+
+        # sequential: the exact epoch-loop key chain
+        key = jax.random.PRNGKey(7)
+        st_seq = state0
+        jstep = jax.jit(step)
+        for b in batches:
+            key, sub = jax.random.split(key)
+            st_seq, _ = jstep(st_seq, b, sub)
+
+        superbatch = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+        fused = jax.jit(fuse_steps(step))
+        st_f, key_f, metrics = fused(state0, superbatch, jax.random.PRNGKey(7))
+
+        assert metrics["loss"].shape == (K,)
+        assert int(st_f.step) == K
+        # same PRNG chain continues after the dispatch
+        np.testing.assert_array_equal(np.asarray(key_f), np.asarray(key))
+        # tolerance: the scan body and the standalone jit compile with
+        # different fusion choices; fp reassociation noise (~4e-5 abs) is
+        # then amplified through the RMSprop update — same bar as the DP
+        # equivalence tests above
+        for a, b in zip(jax.tree.leaves(st_seq.params), jax.tree.leaves(st_f.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3
+            )
+        for a, b in zip(
+            jax.tree.leaves(st_seq.batch_stats), jax.tree.leaves(st_f.batch_stats)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3
+            )
+
+    @pytest.mark.slow
+    def test_fused_dp_matches_sequential_single_device(self, synth):
+        """The sharded fused step (superbatch sharded on dim 1) equals the
+        sequential single-device chain on the merged batches."""
+        from posetpu.parallel import shard_fused_train_step
+        from posetpu.train.step import fuse_steps
+
+        cfg = _tiny_cfg(
+            **{
+                "aug.scale_factor": 0.0,
+                "aug.rot_factor": 0.0,
+                "aug.rot_prob": 0.0,
+                "aug.flip_prob": 0.0,
+                "aug.color_jitter": False,
+            }
+        )
+        mesh = make_mesh(8)
+        model_dp = hg(
+            num_stacks=1, num_feats=16, num_classes=16, axis_name="data",
+            dtype=jnp.float32,
+        )
+        model_1d = hg(num_stacks=1, num_feats=16, num_classes=16, dtype=jnp.float32)
+        tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model_1d.init(jax.random.PRNGKey(0), x, train=True)
+        state0 = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        batches = list(HostLoader(synth, 16, pad_hw=(256, 384), seed=3))[:2]
+
+        key = jax.random.PRNGKey(7)
+        st_seq = state0
+        jstep = jax.jit(make_train_step(model_1d, tx, cfg.aug, MEAN))
+        for b in batches:
+            key, sub = jax.random.split(key)
+            st_seq, _ = jstep(st_seq, b, sub)
+
+        superbatch = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+        fused_dp = shard_fused_train_step(
+            fuse_steps(make_train_step(model_dp, tx, cfg.aug, MEAN, axis_name="data")),
+            mesh,
+            donate=False,
+        )
+        st_f, key_f, metrics = fused_dp(state0, superbatch, jax.random.PRNGKey(7))
+
+        assert metrics["loss"].shape == (2,)
+        np.testing.assert_array_equal(np.asarray(key_f), np.asarray(key))
+        for a, b in zip(jax.tree.leaves(st_seq.params), jax.tree.leaves(st_f.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+            )

@@ -22,6 +22,11 @@ def main():
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--backend", default="auto")
+    ap.add_argument(
+        "--k-per-dispatch", type=int, default=1,
+        help="measure the production steps_per_dispatch=K fused path "
+        "(K batches stacked per lax.scan dispatch)",
+    )
     ap.add_argument("--trace", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -37,7 +42,11 @@ def main():
     from posetpu.models import hg
     from posetpu.train import TrainState, make_train_step
     from posetpu.train.state import make_optimizer
-    from posetpu.utils.profiling import measure_duty_cycle, trace
+    from posetpu.utils.profiling import (
+        measure_duty_cycle,
+        measure_duty_cycle_fused,
+        trace,
+    )
 
     root = "/tmp/posetpu_duty_synth"
     json_path = os.path.join(root, "annotations.json")
@@ -49,6 +58,7 @@ def main():
     loader = HostLoader(
         ds, args.batch, pad_hw=(384, 512), backend=args.backend, prefetch=4,
         place=make_batch_placer(None),  # async H2D, as Experiment wires it
+        group=args.k_per_dispatch,
     )
 
     cfg = named_config("hg8_mpii")
@@ -70,20 +80,30 @@ def main():
     step = jax.jit(make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43)))
 
     key = jax.random.PRNGKey(0)
-    if args.trace:
-        with trace(args.trace):
-            duty, t_dev, t_wall = measure_duty_cycle(
-                step, state, loader, key, args.steps
+    raw_step = make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43))
+    if args.k_per_dispatch > 1:
+        def run():
+            return measure_duty_cycle_fused(
+                raw_step, state, loader, key,
+                max_dispatches=max(1, args.steps // args.k_per_dispatch),
             )
     else:
-        duty, t_dev, t_wall = measure_duty_cycle(
-            step, state, loader, key, args.steps
-        )
+        def run():
+            return measure_duty_cycle(step, state, loader, key, args.steps)
+    if args.trace:
+        with trace(args.trace):
+            duty, t_dev, t_wall = run()
+    else:
+        duty, t_dev, t_wall = run()
     ips = args.batch / t_wall
+    mode = (
+        f"K={args.k_per_dispatch}/dispatch" if args.k_per_dispatch > 1
+        else "per-dispatch"
+    )
     print(
         f"device_step={t_dev*1e3:.2f}ms wall_step={t_wall*1e3:.2f}ms "
         f"duty_cycle={duty*100:.1f}% images/sec={ips:.1f} "
-        f"(backend={args.backend}, decode+H2D overlap "
+        f"(backend={args.backend}, {mode}, decode+H2D overlap "
         f"{'OK' if duty >= 0.95 else 'LIMITED'})"
     )
 
