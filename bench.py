@@ -111,16 +111,24 @@ def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
     return statistics.median(rates)
 
 
-def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256):
+def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256,
+                    fused=False):
     """Full adversarial (ASR) minimax step throughput — the flagship
-    feature.  Uses the single-chip production path (the split-program
-    variant, proven equivalent to the fused one by tests); device-resident
-    batch.  The split variant is four separate dispatches, so it cannot be
-    fused into one lax.scan program like run_bench — this mode times
-    sustained wall clock with a real loss fetch every step, which INCLUDES
+    feature.
+
+    ``fused=False`` (default): the split-program single-chip path (four
+    dispatches per step, proven equivalent to the fused one by tests);
+    device-resident batch; loss fetched every step.  This number INCLUDES
     the ~0.4 s of host relay dispatch overhead per step that this 1-core
-    build host imposes (see the module docstring; a production host with
-    asynchronous dispatch would overlap it)."""
+    build host imposes (a production host with asynchronous dispatch would
+    overlap it).
+
+    ``fused=True``: the monolithic make_joint_step program, K steps fused
+    into one lax.scan dispatch ended by a value fetch — the DEVICE-ONLY
+    joint throughput (same methodology as run_bench).  Also prints the
+    monolith's compile time to stderr: the round-1 pathological compile
+    (575 s, pre-input_downscale) is the reason the split variant exists;
+    this mode is the standing re-adjudication of that decision."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -133,7 +141,7 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256):
         scale_bin_table,
     )
     from posetpu.train import JointState, TrainState
-    from posetpu.train.adversarial import make_joint_step_split
+    from posetpu.train.adversarial import make_joint_step, make_joint_step_split
     from posetpu.train.state import make_optimizer
 
     cfg = named_config("hg8_mpii_asr")
@@ -165,13 +173,20 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256):
         ),
         step=jnp.zeros((), jnp.int32),
     )
-    step = make_joint_step_split(
-        model, agent, tx, atx, cfg.aug, (0.44, 0.44, 0.43),
+    step_kw = dict(
         scale_table=scale_bin_table(cfg.agent.scale_bins),
         rot_table=rotation_bin_table(
             cfg.agent.rot_bins, -cfg.aug.rot_factor, cfg.aug.rot_factor
         ),
     )
+    if fused:
+        step = make_joint_step(
+            model, agent, tx, atx, cfg.aug, (0.44, 0.44, 0.43), **step_kw
+        )
+    else:
+        step = make_joint_step_split(
+            model, agent, tx, atx, cfg.aug, (0.44, 0.44, 0.43), **step_kw
+        )
 
     rng = np.random.RandomState(0)
     pad = res + res // 4
@@ -187,6 +202,40 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256):
         "index": np.arange(batch, dtype=np.int32),
     }
     batch_dev = jax.device_put(batch_data)
+
+    if fused:
+        import statistics
+        from functools import partial
+
+        K = steps
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def run_k(state, b, key):
+            def body(carry, _):
+                st, k = carry
+                k, sub = jax.random.split(k)
+                st, m = step(st, b, sub)
+                return (st, k), m["loss"]
+
+            (state, _), losses = jax.lax.scan(
+                body, (state, key), None, length=K
+            )
+            return state, losses[-1]
+
+        t0 = time.perf_counter()
+        state, loss = run_k(state, batch_dev, jax.random.PRNGKey(0))
+        float(loss)
+        sys.stderr.write(
+            f"[bench --joint --fused] first call (compile+{K} steps): "
+            f"{time.perf_counter() - t0:.1f}s\n"
+        )
+        rates = []
+        for t in range(3):
+            t0 = time.perf_counter()
+            state, loss = run_k(state, batch_dev, jax.random.PRNGKey(100 + t))
+            float(loss)  # device->host fetch: the only real sync here
+            rates.append(batch * K / (time.perf_counter() - t0))
+        return statistics.median(rates)
 
     key = jax.random.PRNGKey(0)
     for _ in range(warmup):
@@ -377,6 +426,11 @@ def main():
         help="benchmark the full adversarial (ASR) minimax step",
     )
     ap.add_argument(
+        "--fused", action="store_true",
+        help="with --joint: the monolithic fused joint program, K steps "
+        "per lax.scan dispatch (device-only number + compile-time probe)",
+    )
+    ap.add_argument(
         "--serve", action="store_true",
         help="benchmark the serving path (PosePredictor: warp + forward "
         "+ decode, per-dispatch with result fetch)",
@@ -412,8 +466,15 @@ def main():
             + (f", K={k}/dispatch)" if k > 1 else ")")
         )
     elif args.joint:
+        if args.fused:
+            kw["fused"] = True
+            if args.steps is None:
+                kw["steps"] = 10  # K per scan dispatch, like run_bench
         ips = run_bench_joint(**kw)
-        metric = "images/sec/chip (joint adversarial minimax step)"
+        metric = (
+            "images/sec/chip (joint adversarial minimax step"
+            + (", fused device-only)" if args.fused else ")")
+        )
     elif args.serve:
         if args.batch is None and not args.quick:
             kw["batch"] = 64  # serving sweet spot; --quick keeps batch 4

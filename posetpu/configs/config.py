@@ -91,7 +91,14 @@ class ExperimentConfig:
     # data
     annotations: str = ""  # reference --json path
     images_dir: str = ""  # reference --image-path
-    pad_hw: Tuple[int, int] = (512, 512)
+    # Pre-pad host canvas (static shape the device warp reads from).
+    # None = auto-size from the dataset's annotation scales at Experiment
+    # init: the window is sized so the LARGEST person's worst-case crop
+    # footprint (200*scale box x max aug scale-up x rotation bounding-box
+    # expansion) fits, rounded up to a 64-multiple (one compile per value).
+    # An explicit tuple is used as-is (with a warning when it is too small
+    # — such crops read zero padding where the reference reads pixels).
+    pad_hw: Optional[Tuple[int, int]] = None
     batch_size: int = 6  # reference batch 6/GPU (BASELINE.json:8)
     # "host": threaded HostLoader (+C++ decode pool); "grain": grain-backed
     # multi-process pipeline (multi-core TPU hosts) — same batch contract.

@@ -66,6 +66,15 @@ class PoseDataset:
     def image_path(self, i):
         return self.samples[i].img_path
 
+    def head_size(self, i):
+        """Official MPII PCKh normalizer (0.6 * head-rectangle diagonal)
+        when the annotation carries the head box; None otherwise (callers
+        fall back to the keypoint approximation in tools/evaluate.py)."""
+        r = self.samples[i].head_rect
+        if r is None:
+            return None
+        return 0.6 * float(np.hypot(r[2] - r[0], r[3] - r[1]))
+
     def mean_std(self, max_samples=512):
         """Dataset RGB mean/std, cached next to the annotations (the
         reference caches `mean.pth.tar` computed over the train set)."""

@@ -25,6 +25,7 @@ import numpy as np
 from PIL import Image
 
 
+
 def _decode(path):
     return np.asarray(Image.open(path).convert("RGB"), np.uint8)
 
@@ -161,7 +162,10 @@ def threaded_place_iter(src_iter, place, prefetch=2):
         try:
             while True:
                 q.get_nowait()
-        except queue.Empty:
+        except BaseException:
+            # queue.Empty ends the drain; anything else is an interpreter-
+            # shutdown artifact (stdlib queue's own `raise Empty` breaks
+            # once module globals are cleared) — the drain is best-effort
             pass
 
 

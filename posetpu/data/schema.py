@@ -23,6 +23,12 @@ class SampleMeta:
     pts: np.ndarray  # (K, 2) 1-indexed joint coords
     vis: np.ndarray  # (K,) visibility (>0 labeled)
     is_validation: bool
+    # Optional MPII head rectangle [x1, y1, x2, y2] (the official PCKh
+    # protocol normalizes by 0.6 * its diagonal).  The bearpaw JSON lacks
+    # it, so it is None for those files and tools/evaluate.py falls back
+    # to 1.2 * |head_top - upper_neck|; real MPII annotations converted
+    # with the head box run the official protocol unmodified.
+    head_rect: np.ndarray | None = None
 
     @property
     def num_joints(self):
@@ -42,6 +48,7 @@ def load_annotations(json_path, images_dir=""):
     out = []
     for a in raw:
         joints = np.asarray(a["joint_self"], np.float64)
+        head = a.get("headboxes") or a.get("head_rect")
         out.append(
             SampleMeta(
                 img_path=os.path.join(images_dir, a["img_paths"]),
@@ -50,6 +57,9 @@ def load_annotations(json_path, images_dir=""):
                 pts=joints[:, :2],
                 vis=joints[:, 2],
                 is_validation=bool(float(a.get("isValidation", 0))),
+                head_rect=(
+                    np.asarray(head, np.float64) if head is not None else None
+                ),
             )
         )
     return out
@@ -69,6 +79,11 @@ def dump_annotations(samples, json_path):
                     for (x, y), v in zip(s.pts, s.vis)
                 ],
                 "isValidation": float(s.is_validation),
+                **(
+                    {"head_rect": [float(x) for x in s.head_rect]}
+                    if s.head_rect is not None
+                    else {}
+                ),
             }
         )
     with open(json_path, "w") as f:

@@ -81,6 +81,42 @@ def render_person(res, pts, rng):
     return img
 
 
+def _add_occluders(img, pts, height, rng, n_range=(1, 3), frac=(0.15, 0.30)):
+    """Paste random noise-filled rectangles over randomly chosen joints —
+    the hard-validation perturbation the adversarial AHO recipe trains
+    against (the estimator must infer the covered joint from skeleton
+    context).  Annotations keep the true joint position."""
+    draw = ImageDraw.Draw(img)
+    n = rng.randint(n_range[0], n_range[1] + 1)
+    for _ in range(n):
+        j = rng.randint(len(pts))
+        side = height * rng.uniform(*frac)
+        cx = pts[j, 0] - 1 + rng.randn() * side * 0.2
+        cy = pts[j, 1] - 1 + rng.randn() * side * 0.2
+        x0, y0 = cx - side / 2, cy - side / 2
+        # noise fill matching the background statistics (dark)
+        shade = tuple(int(v) for v in rng.rand(3) * 60 + 20)
+        draw.rectangle([x0, y0, x0 + side, y0 + side], fill=shade)
+    return img
+
+
+def _add_distractor(img, res, template, rng):
+    """Draw one bones-only partial figure in the background (no joint
+    discs — shape confusion without duplicating the joint color code)."""
+    W, H = res
+    draw = ImageDraw.Draw(img)
+    height = H * rng.uniform(0.3, 0.5)
+    cx = W * rng.uniform(0.1, 0.9)
+    cy = H * rng.uniform(0.2, 0.8)
+    ang = rng.uniform(-0.5, 0.5)
+    rot = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+    pts = (template - [0.5, 0.5]) @ rot.T * height + [cx, cy]
+    bones = MPII_BONES if len(template) == 16 else []
+    for a, b in bones:
+        draw.line([tuple(pts[a]), tuple(pts[b])], fill=(150, 150, 150), width=3)
+    return img
+
+
 def make_synthetic_dataset(
     out_dir,
     num_train=32,
@@ -88,11 +124,20 @@ def make_synthetic_dataset(
     res=(320, 240),
     dataset="mpii",
     seed=0,
+    hard_val=False,
 ):
     """Create ``images/`` + ``annotations.json`` in the reference schema.
 
     Returns the annotation JSON path.  Person height ~55-80%% of image
     height; scale follows the reference convention box=200*scale.
+
+    ``hard_val=True`` renders the VALIDATION samples as a robustness
+    stress set (the adversarial-gain demo, tools/adversarial_gain.py):
+    wider person-scale range (0.35-0.95 of image height), 1-3 random
+    noise-filled occluder patches over joints, and one bones-only
+    distractor figure in the background.  Train samples are unchanged, so
+    any accuracy difference between training recipes on this val set
+    comes from robustness, not from fitting the perturbations.
     """
     rng = np.random.RandomState(seed)
     W, H = res
@@ -104,7 +149,11 @@ def make_synthetic_dataset(
     K = len(template)
     samples = []
     for i in range(num_train + num_val):
-        height = H * rng.uniform(0.55, 0.8)
+        is_val = i >= num_train
+        hard = hard_val and is_val
+        height = H * (
+            rng.uniform(0.35, 0.95) if hard else rng.uniform(0.55, 0.8)
+        )
         cx = W * rng.uniform(0.35, 0.65)
         cy = H * rng.uniform(0.4, 0.6)
         pts = template - [0.5, 0.5]
@@ -118,6 +167,9 @@ def make_synthetic_dataset(
         pts += rng.randn(K, 2) * height * 0.01
         pts_1idx = pts + 1.0  # annotations are 1-indexed
         img = render_person(res, pts_1idx, rng)
+        if hard:
+            img = _add_distractor(img, res, template, rng)
+            img = _add_occluders(img, pts_1idx, height, rng)
         name = f"synth_{i:05d}.jpg"
         img.save(os.path.join(img_dir, name), quality=92)
         samples.append(
@@ -127,7 +179,7 @@ def make_synthetic_dataset(
                 scale=height / 200.0,
                 pts=pts_1idx,
                 vis=np.ones(K),
-                is_validation=i >= num_train,
+                is_validation=is_val,
             )
         )
     json_path = os.path.join(out_dir, "annotations.json")

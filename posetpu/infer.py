@@ -116,9 +116,14 @@ class PosePredictor:
             remat=cfg.model.remat or cfg.model.scan_stacks,
         )
         path = checkpoint
-        if os.path.isdir(os.path.join(checkpoint, "best")) and best:
+        has_best = os.path.isdir(os.path.join(checkpoint, "best"))
+        has_ckpt = os.path.isdir(os.path.join(checkpoint, "ckpt"))
+        if has_best and (best or not has_ckpt):
+            # best=False falls back to best/ when it is the ONLY loadable
+            # layout present (e.g. a distributed dir with the epoch ckpts
+            # pruned) rather than failing on the parent directory
             path = os.path.join(checkpoint, "best")
-        elif os.path.isdir(os.path.join(checkpoint, "ckpt")):
+        elif has_ckpt:
             # skip in-flight/stale "*.orbax-checkpoint-tmp-*" dirs — they
             # sort AFTER the finished epoch they belong to (same filter as
             # CheckpointManager._finished)

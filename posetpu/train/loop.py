@@ -313,13 +313,14 @@ class Experiment:
         if cfg.resume:
             self._resume(cfg.resume)
 
-    def _check_pad_hw(self):
-        """Warn when the largest person's worst-case crop box outruns the
-        pre-pad window: the loader's canvas crop would sample zeros where
-        the reference's host crop reads real pixels (see
-        data.loader.load_sample).  One pass over annotation scales (no
-        decode), once at init."""
-        import warnings
+    def _worst_case_box(self):
+        """Side of the largest person's worst-case crop-source footprint:
+        200*scale box x max aug scale-up (sample_aug_params clips exp mode
+        at 2^(2*scale_factor)) x the rotation bounding-box expansion
+        (|cos|+|sin| over the clipped rotation range, <= sqrt(2)).  One
+        pass over annotation scales (no decode), once at init.  Returns
+        0.0 when the scan is impossible (no metadata)."""
+        import math
 
         cfg = self.cfg
         try:
@@ -328,22 +329,41 @@ class Experiment:
                 default=0.0,
             )
         except Exception:
-            return
-        # box side = 200 * scale * max aug scale-up (mirrors sample_aug_params'
-        # clipping: exp mode tops out at 2^(2*scale_factor))
+            return 0.0
         aug_up = (
             2.0 ** (2 * cfg.aug.scale_factor)
             if cfg.aug.scale_mode == "exp"
             else 1.0 + cfg.aug.scale_factor
         )
-        box = 200.0 * max_scale * aug_up
+        rot_max = 2.0 * cfg.aug.rot_factor if cfg.aug.rot_prob > 0 else 0.0
+        theta = math.radians(min(abs(rot_max), 45.0))
+        rot_expand = math.cos(theta) + math.sin(theta)
+        return 200.0 * max_scale * aug_up * rot_expand
+
+    def _check_pad_hw(self):
+        """Resolve/validate the pre-pad host window.  cfg.pad_hw=None
+        auto-sizes it so the largest person's worst-case crop footprint
+        (:meth:`_worst_case_box`) fits, rounded up to a 64-multiple (the
+        resolved value lands in config.json via _dump_config).  An explicit
+        pad_hw is kept but warned about when too small: such crops read
+        zero padding where the reference's host crop reads real pixels
+        (see data.loader.load_sample)."""
+        import warnings
+
+        cfg = self.cfg
+        box = self._worst_case_box()
+        if cfg.pad_hw is None:
+            side = max(512, -(-int(box) // 64) * 64) if box else 512
+            cfg.pad_hw = (side, side)
+            return
         if box > min(cfg.pad_hw):
             warnings.warn(
-                f"largest person's crop box (~{box:.0f}px at scale "
-                f"{max_scale:.2f} with aug x{aug_up:.2f}) exceeds "
+                f"largest person's worst-case crop footprint (~{box:.0f}px, "
+                f"incl. aug scale-up and rotation expansion) exceeds "
                 f"pad_hw={tuple(cfg.pad_hw)}; such crops read zero padding "
                 f"where the reference reads image pixels — raise pad_hw "
-                f"(static shape: one recompile) to cover the dataset",
+                f"(static shape: one recompile) or leave pad_hw=None to "
+                f"auto-size it from the dataset",
                 stacklevel=2,
             )
 

@@ -293,3 +293,57 @@ class TestGroupedBatches:
         )
         assert grouped[0]["image"].shape == (2, 4, 256, 384, 3)
         assert grouped[-1]["image"].shape[0] in (1, 2)
+
+
+class TestHeadRect:
+    """Optional MPII head rectangle (schema head_rect): round-trips through
+    the JSON schema and drives the OFFICIAL PCKh normalizer (0.6 * diag);
+    absent -> None and the keypoint fallback applies (VERDICT r2 item 7)."""
+
+    def test_round_trip_and_head_size(self, tmp_path):
+        import json
+
+        from posetpu.data.schema import (
+            SampleMeta,
+            dump_annotations,
+            load_annotations,
+        )
+
+        pts = np.tile(np.arange(16, dtype=np.float64)[:, None], (1, 2)) + 1
+        samples = [
+            SampleMeta(
+                img_path="a.jpg", center=np.array([50.0, 60.0]), scale=1.0,
+                pts=pts, vis=np.ones(16), is_validation=True,
+                head_rect=np.array([10.0, 20.0, 40.0, 60.0]),
+            ),
+            SampleMeta(
+                img_path="b.jpg", center=np.array([50.0, 60.0]), scale=1.0,
+                pts=pts, vis=np.ones(16), is_validation=True,
+            ),
+        ]
+        p = str(tmp_path / "ann.json")
+        dump_annotations(samples, p)
+        back = load_annotations(p)
+        np.testing.assert_allclose(back[0].head_rect, [10, 20, 40, 60])
+        assert back[1].head_rect is None
+        # raw JSON stays reference-schema compatible (extra key only where set)
+        raw = json.load(open(p))
+        assert "head_rect" in raw[0] and "head_rect" not in raw[1]
+
+        ds = MpiiDataset(p, str(tmp_path), split="valid")
+        # 0.6 * diag([10,20,40,60]) = 0.6 * 50 = 30
+        np.testing.assert_allclose(ds.head_size(0), 30.0)
+        assert ds.head_size(1) is None
+
+    def test_evaluate_prefers_official_sizes(self, tmp_path):
+        from tools.evaluate import head_sizes
+
+        pts = np.zeros((2, 16, 2))
+        pts[:, 9] = [0, 10]  # head segment |head_top-neck| = 10 -> 12 fallback
+
+        class DS:
+            def head_size(self, i):
+                return 30.0 if i == 0 else None
+
+        out = head_sizes(DS(), pts)
+        np.testing.assert_allclose(out, [30.0, 12.0])

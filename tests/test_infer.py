@@ -166,3 +166,32 @@ class TestCheckpointLoading:
         out = p(b["images"], b["valid_wh"], b["center"], b["scale"])
         assert out["pred"].shape == (2, cfg.model.classes, 2)
         assert np.isfinite(out["pred"]).all()
+
+    def test_best_false_falls_back_to_best_only_dir(self, tmp_path):
+        """A directory holding only best/ (epoch ckpts pruned) must load
+        via best/ even with best=False, not fail on the parent dir."""
+        import shutil
+
+        from posetpu.ckpt import CheckpointManager
+
+        cfg = named_config("hg2_mpii_mini")
+        cfg.model.stacks = 1
+        cfg.model.feats = 8
+        cfg.aug.inp_res = (64, 64)
+        cfg.aug.out_res = (16, 16)
+        model = hg(
+            num_stacks=1,
+            num_feats=8,
+            num_classes=cfg.model.classes,
+            dtype=jnp.bfloat16,
+        )
+        state = self._pose_state(model)
+        mgr = CheckpointManager(str(tmp_path))
+        mgr.save(state, epoch=1, best_acc=0.1, is_best=True)
+        mgr.wait()
+        shutil.rmtree(str(tmp_path / "ckpt"))
+        p = PosePredictor.from_config(cfg, str(tmp_path), best=False)
+        rng = np.random.RandomState(3)
+        b = _batch(rng, 2)
+        out = p(b["images"], b["valid_wh"], b["center"], b["scale"])
+        assert np.isfinite(out["pred"]).all()

@@ -461,3 +461,65 @@ class TestStepsPerDispatch:
         cfg.checkpoint_dir = str(tmp_path)
         with pytest.raises(ValueError, match="steps_per_dispatch"):
             Experiment(cfg)
+
+
+class TestAutoPadHw:
+    """pad_hw=None (the default) auto-sizes the pre-pad window from the
+    annotation scan so the too-small warning path is unreachable on any
+    schema-valid dataset (VERDICT r2 item 4)."""
+
+    def test_auto_sizes_and_never_warns(self, synth, tmp_path):
+        import warnings
+
+        from posetpu.train.loop import Experiment
+
+        cfg = named_config("hg2_mpii_mini")
+        cfg.model.stacks = 1
+        cfg.model.feats = 8
+        cfg.aug.inp_res = (64, 64)
+        cfg.aug.out_res = (16, 16)
+        cfg.batch_size = 4
+        cfg.num_devices = 1
+        cfg.synthetic = False
+        cfg.annotations = synth.samples[0].img_path.rsplit(
+            "/images", 1
+        )[0] + "/annotations.json"
+        cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+        assert cfg.pad_hw is None  # auto is the default
+        cfg.steps_per_epoch = 1
+        cfg.checkpoint_dir = str(tmp_path)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            exp = Experiment(cfg)
+        assert not any("pad_hw" in str(x.message) for x in w)
+        ph, pw = exp.cfg.pad_hw
+        assert ph == pw and ph % 64 == 0
+        assert ph >= exp._worst_case_box()
+        assert ph >= 512  # floor
+
+    def test_worst_case_box_includes_rotation_expansion(self, synth, tmp_path):
+        from posetpu.train.loop import Experiment
+
+        def build(rot_prob):
+            cfg = named_config("hg2_mpii_mini")
+            cfg.model.stacks = 1
+            cfg.model.feats = 8
+            cfg.aug.inp_res = (64, 64)
+            cfg.aug.out_res = (16, 16)
+            cfg.batch_size = 4
+            cfg.num_devices = 1
+            cfg.synthetic = False
+            cfg.annotations = synth.samples[0].img_path.rsplit(
+                "/images", 1
+            )[0] + "/annotations.json"
+            cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+            cfg.aug.rot_prob = rot_prob
+            cfg.steps_per_epoch = 1
+            cfg.checkpoint_dir = str(tmp_path / f"rp{rot_prob}")
+            cfg.name = f"rp{rot_prob}"
+            return Experiment(cfg)
+
+        # default rot_factor=30 -> clipped max 60 deg -> sqrt(2) bound
+        with_rot = build(0.6)._worst_case_box()
+        without = build(0.0)._worst_case_box()
+        np.testing.assert_allclose(with_rot / without, np.sqrt(2.0), rtol=1e-6)

@@ -29,6 +29,26 @@ def head_sizes_from_pts(gts, dataset="mpii"):
     return np.maximum(seg * 1.2, 1.0)
 
 
+def head_sizes(val_ds, gts, dataset="mpii"):
+    """Per-sample PCKh normalizers: the OFFICIAL 0.6*head-box diagonal
+    where the annotation carries a head rectangle (schema head_rect),
+    keypoint fallback elsewhere."""
+    fallback = head_sizes_from_pts(gts, dataset)
+    out = fallback.copy()
+    n_official = 0
+    for i in range(len(gts)):
+        h = val_ds.head_size(i)
+        if h is not None:
+            out[i] = max(h, 1.0)
+            n_official += 1
+    if 0 < n_official < len(gts):
+        print(
+            f"[eval] head sizes: {n_official}/{len(gts)} official head "
+            f"boxes, rest keypoint-approximated"
+        )
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="hg2_mpii_mini")
@@ -65,7 +85,7 @@ def main(argv=None):
         mean_pck, per_joint = pck_lsp(preds, gts, vis)
         label = "PCK@0.2"
     else:
-        heads = head_sizes_from_pts(gts, "mpii")
+        heads = head_sizes(exp.val_ds, gts, "mpii")
         mean_pck, per_joint = pckh(preds, gts, heads, vis)
         label = "PCKh@0.5"
     out = os.path.join(cfg.checkpoint_dir, cfg.name, "preds.mat")
