@@ -79,6 +79,15 @@ class AgentConfig:
     lr: float = 2.5e-4
     reward_baseline: str = "batch_mean"  # REINFORCE baseline
     update_every: int = 1  # agent update cadence vs pose updates
+    # Single-chip joint-step program layout (DP always uses the fused
+    # monolith under shard_map).  "split": four small jits — compiles in
+    # ~2 min, steps pay ~4 dispatch round-trips (the production default:
+    # friendly for tests/smoke runs).  "fused": ONE monolithic program —
+    # ~10 min XLA compile (measured round 3, 615 s first call), then
+    # 225 img/s device-only vs the split path's 182 host-inclusive, and
+    # it can ride inside steps_per_dispatch's lax.scan.  Worth it for
+    # real multi-hour trainings; the two are math-equivalent (tested).
+    fused_step: str = "split"
 
 
 @dataclass
@@ -212,6 +221,7 @@ _FLAGS = {
     "--occ-mode": ("agent.occ_mode", str),  # tree | parts | flat (C13)
     "--occ-nodes": ("agent.occ_nodes", int),
     "--agent-update-every": ("agent.update_every", int),
+    "--agent-step": ("agent.fused_step", str),  # split | fused
     "--loader-backend": ("loader_backend", str),
     "--loader-workers": ("loader_workers", int),
     "--steps-per-dispatch": ("steps_per_dispatch", int),

@@ -75,6 +75,31 @@ class PoseDataset:
             return None
         return 0.6 * float(np.hypot(r[2] - r[0], r[3] - r[1]))
 
+    def max_image_hw(self):
+        """(max_H, max_W) over the split's images, from image HEADERS only
+        (PIL's lazy open reads no pixel data), cached next to the
+        annotations.  Used to cap the auto-sized pre-pad window: the
+        device warp masks reads beyond ``valid_wh`` to zero, so canvas
+        beyond the largest real image buys nothing but H2D bytes."""
+        cache = os.path.join(
+            os.path.dirname(self._mean_cache), f"{self.name}_maxhw.json"
+        )
+        if os.path.exists(cache):
+            with open(cache) as f:
+                d = json.load(f)
+            return int(d["h"]), int(d["w"])
+        mh = mw = 0
+        for i in range(len(self)):
+            with Image.open(self.image_path(i)) as im:
+                w, h = im.size
+            mh, mw = max(mh, h), max(mw, w)
+        try:
+            with open(cache, "w") as f:
+                json.dump({"h": mh, "w": mw}, f)
+        except OSError:
+            pass  # read-only data dir: recompute next time
+        return mh, mw
+
     def mean_std(self, max_samples=512):
         """Dataset RGB mean/std, cached next to the annotations (the
         reference caches `mean.pth.tar` computed over the train set)."""

@@ -116,14 +116,21 @@ class Experiment:
                 "(expected 'host' or 'grain')"
             )
         self.K = max(1, cfg.steps_per_dispatch)
-        if self.K > 1 and cfg.agent.enabled and not self.dp:
-            # the single-chip joint path is the split (multi-dispatch)
-            # variant, which cannot ride inside one lax.scan program
+        if cfg.agent.fused_step not in ("split", "fused"):
+            raise ValueError(
+                f"agent.fused_step must be 'split' or 'fused', got "
+                f"{cfg.agent.fused_step!r}"
+            )
+        self.joint_fused = self.dp or cfg.agent.fused_step == "fused"
+        if self.K > 1 and cfg.agent.enabled and not self.joint_fused:
+            # the split (multi-dispatch) joint variant cannot ride inside
+            # one lax.scan program
             raise ValueError(
                 "steps_per_dispatch > 1 requires a scannable train step; "
-                "the single-chip joint (agent) path uses the split-program "
-                "variant (see make_joint_step_split) — run the joint config "
-                "under DP or with steps_per_dispatch=1"
+                "the single-chip joint (agent) path defaults to the "
+                "split-program variant (make_joint_step_split) — set "
+                "agent.fused_step='fused' (--agent-step fused; ~10 min "
+                "compile), run under DP, or keep steps_per_dispatch=1"
             )
         self.loader = loader_cls(
             self.train_ds,
@@ -228,7 +235,10 @@ class Experiment:
                 baseline=cfg.agent.reward_baseline,
                 update_every=cfg.agent.update_every,
             )
-            if self.dp:
+            if self.joint_fused:
+                # DP always; single-chip when agent.fused_step="fused"
+                # (slow one-time compile, faster steps + scannable — see
+                # AgentConfig.fused_step)
                 raw_step = make_joint_step(
                     self.model,
                     self.agent_model,
@@ -241,9 +251,9 @@ class Experiment:
                     **joint_kw,
                 )
             else:
-                # single chip: the split variant — XLA compiles the
-                # monolithic 8-stack joint program pathologically (see
-                # make_joint_step_split docstring / BASELINE.md)
+                # single-chip default: the split variant — the monolithic
+                # 8-stack joint program costs ~10 min of XLA compile
+                # (BASELINE.md round-3 re-adjudication) vs ~2 min here
                 raw_step = make_joint_step_split(
                     self.model,
                     self.agent_model,
@@ -275,9 +285,9 @@ class Experiment:
             else:
                 self.train_step = shard_train_step(raw_step, self.mesh)
             self.eval_step = shard_eval_step(self._eval_on_pose(raw_eval), self.mesh)
-        elif cfg.agent.enabled:
+        elif cfg.agent.enabled and not self.joint_fused:
             # split joint step is internally jitted stage-by-stage; an outer
-            # jit would re-fuse it into the pathological monolith
+            # jit would re-fuse it into the slow-compiling monolith
             self.train_step = raw_step
             self.eval_step = jax.jit(self._eval_on_pose(raw_eval))
         else:
@@ -353,8 +363,18 @@ class Experiment:
         cfg = self.cfg
         box = self._worst_case_box()
         if cfg.pad_hw is None:
-            side = max(512, -(-int(box) // 64) * 64) if box else 512
-            cfg.pad_hw = (side, side)
+            # Per-axis cap at the dataset's largest real image: the device
+            # warp masks reads beyond valid_wh to zero, so an image that
+            # fits the canvas whole is NEVER cropped (lossless) and extra
+            # canvas beyond it is pure H2D waste (the tunnel-bandwidth
+            # bound in BASELINE.md makes bytes the scarce resource here).
+            try:
+                max_h, max_w = self.train_ds.max_image_hw()
+            except Exception:
+                max_h = max_w = 1 << 30
+            side = int(box) if box else 512
+            rnd = lambda v: max(256, -(-int(v) // 64) * 64)
+            cfg.pad_hw = (rnd(min(side, max_h)), rnd(min(side, max_w)))
             return
         if box > min(cfg.pad_hw):
             warnings.warn(

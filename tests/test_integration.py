@@ -493,9 +493,14 @@ class TestAutoPadHw:
             exp = Experiment(cfg)
         assert not any("pad_hw" in str(x.message) for x in w)
         ph, pw = exp.cfg.pad_hw
-        assert ph == pw and ph % 64 == 0
-        assert ph >= exp._worst_case_box()
-        assert ph >= 512  # floor
+        box = exp._worst_case_box()
+        mh, mw = exp.train_ds.max_image_hw()
+        assert ph % 64 == 0 and pw % 64 == 0
+        # per-axis: covers the worst-case crop footprint, capped at the
+        # largest real image (beyond it the warp's valid_wh masking
+        # already implies zeros — extra canvas is pure H2D waste)
+        assert ph >= min(box, mh) and pw >= min(box, mw)
+        assert ph <= max(256, -(-mh // 64) * 64) or ph <= -(-int(box) // 64) * 64
 
     def test_worst_case_box_includes_rotation_expansion(self, synth, tmp_path):
         from posetpu.train.loop import Experiment
@@ -523,3 +528,55 @@ class TestAutoPadHw:
         with_rot = build(0.6)._worst_case_box()
         without = build(0.0)._worst_case_box()
         np.testing.assert_allclose(with_rot / without, np.sqrt(2.0), rtol=1e-6)
+
+
+class TestJointFusedSingleChip:
+    """agent.fused_step='fused' routes the single-chip joint path onto the
+    monolithic make_joint_step (round-3 re-adjudication: ~10 min TPU
+    compile but faster, scannable steps) and composes with
+    steps_per_dispatch."""
+
+    @pytest.mark.slow
+    def test_fused_joint_with_steps_per_dispatch(self, synth, tmp_path):
+        from posetpu.train.loop import Experiment
+
+        cfg = named_config("hg2_mpii_mini")
+        cfg.model.stacks = 1
+        cfg.model.feats = 8
+        cfg.aug.inp_res = (64, 64)
+        cfg.aug.out_res = (16, 16)
+        cfg.agent.enabled = True
+        cfg.agent.fused_step = "fused"
+        cfg.batch_size = 4
+        cfg.synthetic = False
+        cfg.annotations = synth.samples[0].img_path.rsplit(
+            "/images", 1
+        )[0] + "/annotations.json"
+        cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+        cfg.num_devices = 1
+        cfg.steps_per_dispatch = 2
+        cfg.optim.epochs = 1
+        cfg.steps_per_epoch = 2
+        cfg.checkpoint_dir = str(tmp_path)
+        exp = Experiment(cfg)
+        assert exp.joint_fused and not exp.dp
+        state, best = exp.fit(progress=lambda *_: None)
+        assert np.isfinite(best)
+        assert int(state.step) == 2
+        assert hasattr(state, "agent")
+
+    def test_bad_fused_step_value_rejected(self, synth, tmp_path):
+        from posetpu.train.loop import Experiment
+
+        cfg = named_config("hg2_mpii_mini")
+        cfg.agent.fused_step = "monolith"
+        cfg.num_devices = 1
+        cfg.batch_size = 4
+        cfg.synthetic = False
+        cfg.annotations = synth.samples[0].img_path.rsplit(
+            "/images", 1
+        )[0] + "/annotations.json"
+        cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+        cfg.checkpoint_dir = str(tmp_path)
+        with pytest.raises(ValueError, match="fused_step"):
+            Experiment(cfg)

@@ -109,7 +109,13 @@ def main(argv=None):
             }
         )
         if args.joint:
-            agent = AugAgent(num_scale_bins=7, num_rot_bins=7)
+            # production default: agent sees the crop avg-pooled x2
+            # (full-res agent stems provoke the pathological joint
+            # compile — configs.AgentConfig.input_downscale)
+            agent = AugAgent(
+                num_scale_bins=7, num_rot_bins=7,
+                input_downscale=cfg.agent.input_downscale,
+            )
             atx = make_optimizer(cfg.optim, 1000)
             av = agent.init(jax.random.PRNGKey(1), x, train=True)
             state = JointState(
