@@ -111,8 +111,8 @@ def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
     return statistics.median(rates)
 
 
-def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256,
-                    fused=False):
+def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
+                    res=None, fused=False, config="hg8_mpii_asr"):
     """Full adversarial (ASR) minimax step throughput — the flagship
     feature.
 
@@ -128,7 +128,13 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256,
     joint throughput (same methodology as run_bench).  Also prints the
     monolith's compile time to stderr: the round-1 pathological compile
     (575 s, pre-input_downscale) is the reason the split variant exists;
-    this mode is the standing re-adjudication of that decision."""
+    this mode is the standing re-adjudication of that decision.
+
+    ``config`` selects the named joint config to benchmark AS CONFIGURED
+    (BASELINE.json rows): "hg8_mpii_asr" (3), "hg8_lsp_aho" (4: 14 LSP
+    joints + tree-AHO occlusion head), "hg8_mpii_384_dp8" (5: 384² —
+    measured here on ONE chip; the DP-8 correctness gate is the driver's
+    dryrun).  ``res=None`` keeps the config's own input resolution."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -137,6 +143,7 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256,
     from posetpu.models import (
         AugAgent,
         hg,
+        occlusion_hierarchy,
         rotation_bin_table,
         scale_bin_table,
     )
@@ -144,13 +151,28 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256,
     from posetpu.train.adversarial import make_joint_step, make_joint_step_split
     from posetpu.train.state import make_optimizer
 
-    cfg = named_config("hg8_mpii_asr")
-    cfg.aug.inp_res = (res, res)
-    cfg.aug.out_res = (res // 4, res // 4)
-    model = hg(num_stacks=stacks, num_blocks=1, num_classes=16, num_feats=feats)
+    cfg = named_config(config)
+    if res:
+        cfg.aug.inp_res = (res, res)
+        cfg.aug.out_res = (res // 4, res // 4)
+    res = cfg.aug.inp_res[0]
+    classes = cfg.model.classes
+    model = hg(
+        num_stacks=stacks, num_blocks=1, num_classes=classes, num_feats=feats
+    )
+    # AHO head exactly as the config trains it (config 4: 22-node tree)
+    occ_boxes = (
+        occlusion_hierarchy(tuple(cfg.aug.inp_res), tuple(cfg.agent.occ_levels))
+        if cfg.agent.occ_nodes
+        else None
+    )
     agent = AugAgent(
         num_scale_bins=cfg.agent.scale_bins,
         num_rot_bins=cfg.agent.rot_bins,
+        num_occ_nodes=len(occ_boxes) if occ_boxes is not None else 0,
+        occ_mode=cfg.agent.occ_mode,
+        occ_levels=tuple(cfg.agent.occ_levels),
+        occ_dataset=cfg.aug.dataset,
         input_downscale=cfg.agent.input_downscale,
     )
     tx = make_optimizer(cfg.optim, 1000)
@@ -178,6 +200,10 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256,
         rot_table=rotation_bin_table(
             cfg.agent.rot_bins, -cfg.aug.rot_factor, cfg.aug.rot_factor
         ),
+        occ_boxes=occ_boxes,
+        occ_mode=cfg.agent.occ_mode if occ_boxes is not None else None,
+        occ_levels=tuple(cfg.agent.occ_levels) if occ_boxes is not None else None,
+        update_every=cfg.agent.update_every,
     )
     if fused:
         step = make_joint_step(
@@ -197,8 +223,10 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3, res=256,
             np.array([[pad / 2 + 0.3, pad / 2 + 0.2]], np.float32), (batch, 1)
         ),
         "scale": np.full((batch,), pad / 250.0, np.float32),
-        "pts": (rng.rand(batch, 16, 2) * pad * 0.6 + pad * 0.2).astype(np.float32),
-        "vis": np.ones((batch, 16), np.float32),
+        "pts": (
+            rng.rand(batch, classes, 2) * pad * 0.6 + pad * 0.2
+        ).astype(np.float32),
+        "vis": np.ones((batch, classes), np.float32),
         "index": np.arange(batch, dtype=np.int32),
     }
     batch_dev = jax.device_put(batch_data)
@@ -431,6 +459,11 @@ def main():
         "per lax.scan dispatch (device-only number + compile-time probe)",
     )
     ap.add_argument(
+        "--config", default="hg8_mpii_asr",
+        help="with --joint: named joint config to benchmark as configured "
+        "(hg8_mpii_asr | hg8_lsp_aho | hg8_mpii_384_dp8)",
+    )
+    ap.add_argument(
         "--serve", action="store_true",
         help="benchmark the serving path (PosePredictor: warp + forward "
         "+ decode, per-dispatch with result fetch)",
@@ -470,10 +503,15 @@ def main():
             kw["fused"] = True
             if args.steps is None:
                 kw["steps"] = 10  # K per scan dispatch, like run_bench
+        kw["config"] = args.config
+        if args.res is None:
+            kw["res"] = None  # keep the named config's own resolution
         ips = run_bench_joint(**kw)
+        tag = "" if args.config == "hg8_mpii_asr" else f", {args.config}"
         metric = (
             "images/sec/chip (joint adversarial minimax step"
-            + (", fused device-only)" if args.fused else ")")
+            + (", fused device-only" if args.fused else "")
+            + tag + ")"
         )
     elif args.serve:
         if args.batch is None and not args.quick:

@@ -22,7 +22,21 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def summarize_xplane(path, top=20):
+def _op_category(name):
+    """Coarse HLO-op category from an event name of the form
+    ``%x = TYPE{layout} opkind(args), ...``."""
+    if "=" in name:
+        toks = name.split("=", 1)[1].strip().split()
+        if len(toks) >= 2:
+            return toks[1].split("(")[0].lstrip("%")
+        name = toks[0] if toks else name
+    return name.split("(")[0][:32] or "other"
+
+
+def summarize_xplane(path, top=20, by_category=False):
+    """Aggregate event durations PER LINE (xplane lines are parallel
+    tracks — per-core op streams, step markers, async copy streams —
+    summing across them double-counts nested events)."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xs = xplane_pb2.XSpace()
@@ -33,17 +47,27 @@ def summarize_xplane(path, top=20):
         if not plane.lines:
             continue
         meta = {k: v.name for k, v in plane.event_metadata.items()}
-        tot = defaultdict(int)
-        cnt = defaultdict(int)
         for line in plane.lines:
+            tot = defaultdict(int)
+            cnt = defaultdict(int)
             for ev in line.events:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                if by_category:
+                    # the whole-step jit event double-counts its children
+                    if name.startswith("jit_") or name.isdigit():
+                        continue
+                    name = _op_category(name)
                 tot[name] += ev.duration_ps
                 cnt[name] += 1
-        rows = sorted(tot.items(), key=lambda kv: -kv[1])[:top]
-        out.append(
-            (plane.name, [(n, ps / 1e9, cnt[n]) for n, ps in rows])
-        )
+            if not tot:
+                continue
+            rows = sorted(tot.items(), key=lambda kv: -kv[1])[:top]
+            out.append(
+                (
+                    f"{plane.name} / line {line.name or line.id}",
+                    [(n, ps / 1e9, cnt[n]) for n, ps in rows],
+                )
+            )
     return out
 
 
@@ -57,6 +81,10 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--trace-dir", default="/tmp/posetpu_trace")
     ap.add_argument("--parse-only", default=None, help="existing xplane.pb")
+    ap.add_argument(
+        "--by-category", action="store_true",
+        help="aggregate device time by HLO op category instead of op name",
+    )
     args = ap.parse_args(argv)
 
     if args.parse_only:
@@ -160,7 +188,7 @@ def main(argv=None):
         path = files[-1]
         print(f"[profile] trace: {path}")
 
-    for plane, rows in summarize_xplane(path, args.top):
+    for plane, rows in summarize_xplane(path, args.top, args.by_category):
         print(f"\n== plane {plane}")
         for name, ms, c in rows:
             print(f"  {ms:9.2f} ms  x{c:<5} {name[:95]}")
