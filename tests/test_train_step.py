@@ -277,7 +277,20 @@ class TestFusedDispatch:
     @pytest.mark.slow
     def test_fused_dp_matches_sequential_single_device(self, synth):
         """The sharded fused step (superbatch sharded on dim 1) equals the
-        sequential single-device chain on the merged batches."""
+        sequential single-device chain on the merged batches.
+
+        Two-part assertion.  (1) With SGD the two chains must agree to
+        float-noise level — this pins the aug/forward/grad/psum math with
+        no optimizer confound (measured worst diff 8e-7).  (2) With the
+        production RMSprop chain, step 1 from v=0 turns every update into
+        ±10·lr·sign(g), so elements whose full-batch gradient sits at
+        summation-order-noise scale legitimately flip sign between the
+        single-reduction and pmean-of-shard-sums orders; chaining a second
+        step compounds it (measured 0.91% of elements beyond 5e-4, all
+        inside the ±10·lr step bound) — asserted via the step-bound /
+        flip-fraction check rather than a blanket tolerance."""
+        import optax
+
         from posetpu.parallel import shard_fused_train_step
         from posetpu.train.step import fuse_steps
 
@@ -296,35 +309,62 @@ class TestFusedDispatch:
             dtype=jnp.float32,
         )
         model_1d = hg(num_stacks=1, num_feats=16, num_classes=16, dtype=jnp.float32)
-        tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+        # 16-image dataset -> batch 8 gives the two batches this test
+        # fuses (batch 16 would yield a single batch and K=1)
+        batches = list(HostLoader(synth, 8, pad_hw=(256, 384), seed=3))[:2]
+        assert len(batches) == 2
+        superbatch = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
         x = jnp.zeros((1, 64, 64, 3))
         variables = model_1d.init(jax.random.PRNGKey(0), x, train=True)
-        state0 = TrainState(
-            params=variables["params"],
-            batch_stats=variables["batch_stats"],
-            opt_state=tx.init(variables["params"]),
-            step=jnp.zeros((), jnp.int32),
-        )
-        batches = list(HostLoader(synth, 16, pad_hw=(256, 384), seed=3))[:2]
 
-        key = jax.random.PRNGKey(7)
-        st_seq = state0
-        jstep = jax.jit(make_train_step(model_1d, tx, cfg.aug, MEAN))
-        for b in batches:
-            key, sub = jax.random.split(key)
-            st_seq, _ = jstep(st_seq, b, sub)
+        def run_both(tx):
+            state0 = TrainState(
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+                opt_state=tx.init(variables["params"]),
+                step=jnp.zeros((), jnp.int32),
+            )
+            key = jax.random.PRNGKey(7)
+            st_seq = state0
+            jstep = jax.jit(make_train_step(model_1d, tx, cfg.aug, MEAN))
+            for b in batches:
+                key, sub = jax.random.split(key)
+                st_seq, _ = jstep(st_seq, b, sub)
+            fused_dp = shard_fused_train_step(
+                fuse_steps(
+                    make_train_step(model_dp, tx, cfg.aug, MEAN, axis_name="data")
+                ),
+                mesh,
+                donate=False,
+            )
+            st_f, key_f, metrics = fused_dp(
+                state0, superbatch, jax.random.PRNGKey(7)
+            )
+            assert metrics["loss"].shape == (2,)
+            np.testing.assert_array_equal(np.asarray(key_f), np.asarray(key))
+            return st_seq, st_f
 
-        superbatch = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
-        fused_dp = shard_fused_train_step(
-            fuse_steps(make_train_step(model_dp, tx, cfg.aug, MEAN, axis_name="data")),
-            mesh,
-            donate=False,
-        )
-        st_f, key_f, metrics = fused_dp(state0, superbatch, jax.random.PRNGKey(7))
-
-        assert metrics["loss"].shape == (2,)
-        np.testing.assert_array_equal(np.asarray(key_f), np.asarray(key))
+        # (1) strict math equivalence, optimizer out of the picture
+        st_seq, st_f = run_both(optax.sgd(1e-3))
         for a, b in zip(jax.tree.leaves(st_seq.params), jax.tree.leaves(st_f.params)):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
             )
+        for a, b in zip(
+            jax.tree.leaves(st_seq.batch_stats), jax.tree.leaves(st_f.batch_stats)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3
+            )
+
+        # (2) production RMSprop chain, modulo first-step sign amplification
+        from test_adversarial import _assert_params_close_post_rmsprop
+
+        st_seq, st_f = run_both(make_optimizer(cfg.optim, steps_per_epoch=10))
+        _assert_params_close_post_rmsprop(
+            st_seq.params,
+            st_f.params,
+            atol=5e-4,
+            lr=cfg.optim.lr,
+            max_flip_frac=0.02,
+        )
