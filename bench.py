@@ -529,7 +529,9 @@ def main():
             sys.stderr.write(f"[bench] retry with smaller batch after: {e}\n")
             kw["batch"] = max(2, kw["batch"] // 2)
             ips = run_bench(**kw)
-        metric = "images/sec/chip (aug+train) 8-stack hourglass"
+        metric = (
+            f"images/sec/chip (aug+train) {kw.get('stacks', 8)}-stack hourglass"
+        )
 
     print(
         json.dumps(

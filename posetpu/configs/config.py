@@ -79,6 +79,13 @@ class AgentConfig:
     lr: float = 2.5e-4
     reward_baseline: str = "batch_mean"  # REINFORCE baseline
     update_every: int = 1  # agent update cadence vs pose updates
+    # Weight of the reference-augmentation crops in the POSE update
+    # (0 = reference protocol: pose trains on adversarial crops only;
+    # w>0 runs one grad pass over concat(adv, ref) with loss
+    # (1-w)*mean(l_adv) + w*mean(l_ref), anchoring the training
+    # distribution and BN running stats on the reference recipe —
+    # see make_joint_step docstring)
+    pose_ref_weight: float = 0.0
     # Single-chip joint-step program layout (DP always uses the fused
     # monolith under shard_map).  "split": four small jits — compiles in
     # ~2 min, steps pay ~4 dispatch round-trips (the production default:
@@ -221,6 +228,7 @@ _FLAGS = {
     "--occ-mode": ("agent.occ_mode", str),  # tree | parts | flat (C13)
     "--occ-nodes": ("agent.occ_nodes", int),
     "--agent-update-every": ("agent.update_every", int),
+    "--pose-ref-weight": ("agent.pose_ref_weight", float),
     "--agent-step": ("agent.fused_step", str),  # split | fused
     "--loader-backend": ("loader_backend", str),
     "--loader-workers": ("loader_workers", int),

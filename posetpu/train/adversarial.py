@@ -345,6 +345,7 @@ def make_joint_step_split(
     occ_levels=None,
     baseline="batch_mean",
     update_every=1,
+    pose_ref_weight=0.0,
 ):
     """Split-program variant of :func:`make_joint_step` for single-chip use.
 
@@ -364,7 +365,14 @@ def make_joint_step_split(
     variant); returns a callable (state, batch, key) -> (state, metrics).
     Proven numerically equivalent to the fused variant by
     tests/test_adversarial.py::TestVariantEquivalence.
+
+    ``pose_ref_weight`` mixes the reference crops into the pose update
+    exactly as in :func:`make_joint_step` (stage B then runs the concat
+    grad pass and stage C is skipped — the in-pass reference losses feed
+    the reward).
     """
+    if not 0.0 <= pose_ref_weight < 1.0:
+        raise ValueError(f"pose_ref_weight must be in [0, 1): {pose_ref_weight}")
     scale_table_j = jnp.asarray(scale_table, jnp.float32)
     rot_table_j = jnp.asarray(rot_table, jnp.float32)
     occ = _occ_spec(occ_boxes, agent_model, occ_mode, occ_levels)
@@ -444,6 +452,41 @@ def make_joint_step_split(
         return new_state, loss, l_adv, acc
 
     @jax.jit
+    def stage_b_mixed(pose_state: TrainState, inp_a, tgt_a, inp_r, tgt_r):
+        B = inp_a.shape[0]
+        inp_t = jnp.concatenate([inp_a, inp_r], axis=0)
+        target = jnp.concatenate([tgt_a, tgt_r], axis=0).transpose(0, 2, 3, 1)
+
+        def loss_fn(p):
+            outs, mut = pose_model.apply(
+                {"params": p, "batch_stats": pose_state.batch_stats},
+                inp_t,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            l_sample = per_sample_stacked_mse(outs, target)  # (2B,)
+            loss = (1.0 - pose_ref_weight) * jnp.mean(
+                l_sample[:B]
+            ) + pose_ref_weight * jnp.mean(l_sample[B:])
+            return loss, (l_sample, mut["batch_stats"], outs[-1][:B])
+
+        (loss, (l_both, new_bs, last)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(pose_state.params)
+        updates, new_opt = pose_tx.update(
+            grads, pose_state.opt_state, pose_state.params
+        )
+        new_params = optax.apply_updates(pose_state.params, updates)
+        acc = accuracy(last.astype(jnp.float32).transpose(0, 3, 1, 2), tgt_a)[0]
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=pose_state.step + 1,
+        )
+        return new_state, loss, l_both[:B], l_both[B:], acc
+
+    @jax.jit
     def stage_c(pose_state: TrainState, inp_r, tgt_r):
         outs = pose_model.apply(
             {
@@ -469,10 +512,19 @@ def make_joint_step_split(
     def joint_step(state: JointState, batch, key):
         key = jax.random.fold_in(key, state.step)
         staged = stage_a(state.agent, batch, key)
-        new_pose, loss, l_adv, acc = stage_b(
-            state.pose, staged["inp_a"], staged["tgt_a"]
-        )
-        l_ref = stage_c(state.pose, staged["inp_r"], staged["tgt_r"])
+        if pose_ref_weight > 0.0:
+            new_pose, loss, l_adv, l_ref, acc = stage_b_mixed(
+                state.pose,
+                staged["inp_a"],
+                staged["tgt_a"],
+                staged["inp_r"],
+                staged["tgt_r"],
+            )
+        else:
+            new_pose, loss, l_adv, acc = stage_b(
+                state.pose, staged["inp_a"], staged["tgt_a"]
+            )
+            l_ref = stage_c(state.pose, staged["inp_r"], staged["tgt_r"])
         do_update = (state.step % update_every) == 0
         new_agent, agent_loss, ent = stage_d(
             state.agent,
@@ -514,6 +566,7 @@ def make_joint_step(
     baseline="batch_mean",
     ref_baseline=True,
     update_every=1,
+    pose_ref_weight=0.0,
 ):
     """Build the jitted joint minimax step (configs 3-5 of
     BASELINE.json:10-12).
@@ -532,7 +585,23 @@ def make_joint_step(
     ``update_every=N`` applies the agent's REINFORCE update only on steps
     where step % N == 0 (the reference's alternating minimax schedule,
     SURVEY.md §3.2 line 181); the pose net updates every step.
+
+    ``pose_ref_weight=w`` (0 ≤ w < 1, requires ``ref_baseline``) mixes the
+    reference-augmentation crops into the POSE update: one grad pass runs
+    over concat(adversarial, reference) and the loss is
+    ``(1-w)·mean(l_adv) + w·mean(l_ref)``, with BN batch statistics drawn
+    from the combined batch.  w=0 (default) is the reference protocol —
+    the pose net trains on the adversarial crops only.  w>0 anchors the
+    training distribution (and the BN running stats the clean-val forward
+    uses) on the reference recipe while keeping adversarial pressure; the
+    per-sample reward then reuses the in-pass reference losses (same
+    params, same BN regime on both sides of the comparison) instead of a
+    separate no-grad forward, so the step stays at two model applications.
     """
+    if pose_ref_weight and not ref_baseline:
+        raise ValueError("pose_ref_weight > 0 requires ref_baseline=True")
+    if not 0.0 <= pose_ref_weight < 1.0:
+        raise ValueError(f"pose_ref_weight must be in [0, 1): {pose_ref_weight}")
     scale_table = jnp.asarray(scale_table, jnp.float32)
     rot_table = jnp.asarray(rot_table, jnp.float32)
     occ = _occ_spec(occ_boxes, agent_model, occ_mode, occ_levels)
@@ -584,22 +653,63 @@ def make_joint_step(
             )
 
         # --- 6. pose forward/backward on the adversarial batch ---
-        def pose_loss_fn(pose_params):
-            outs, mut = pose_model.apply(
-                {"params": pose_params, "batch_stats": state.pose.batch_stats},
-                inp_a,
-                train=True,
-                mutable=["batch_stats"],
-            )
-            l_sample = per_sample_stacked_mse(outs, target_a)  # (B,)
-            return jnp.mean(l_sample), (l_sample, mut["batch_stats"], outs[-1])
+        if pose_ref_weight > 0.0:
+            # mixed pose update: one grad pass over concat(adv, ref); the
+            # in-pass reference losses double as the reward baseline
+            inp_t = jnp.concatenate([inp_a, inp_r], axis=0)
+            tgt_t = jnp.concatenate([target_a, tgt_r], axis=0)
 
-        (pose_loss, (l_adv, new_pose_bs, last)), pose_grads = (
-            jax.value_and_grad(pose_loss_fn, has_aux=True)(state.pose.params)
-        )
+            def pose_loss_fn(pose_params):
+                outs, mut = pose_model.apply(
+                    {
+                        "params": pose_params,
+                        "batch_stats": state.pose.batch_stats,
+                    },
+                    inp_t,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                l_sample = per_sample_stacked_mse(outs, tgt_t)  # (2B,)
+                loss = (1.0 - pose_ref_weight) * jnp.mean(
+                    l_sample[:B]
+                ) + pose_ref_weight * jnp.mean(l_sample[B:])
+                return loss, (l_sample, mut["batch_stats"], outs[-1][:B])
+
+            (pose_loss, (l_both, new_pose_bs, last)), pose_grads = (
+                jax.value_and_grad(pose_loss_fn, has_aux=True)(
+                    state.pose.params
+                )
+            )
+            l_adv, l_ref = l_both[:B], l_both[B:]
+        else:
+
+            def pose_loss_fn(pose_params):
+                outs, mut = pose_model.apply(
+                    {
+                        "params": pose_params,
+                        "batch_stats": state.pose.batch_stats,
+                    },
+                    inp_a,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                l_sample = per_sample_stacked_mse(outs, target_a)  # (B,)
+                return jnp.mean(l_sample), (
+                    l_sample,
+                    mut["batch_stats"],
+                    outs[-1],
+                )
+
+            (pose_loss, (l_adv, new_pose_bs, last)), pose_grads = (
+                jax.value_and_grad(pose_loss_fn, has_aux=True)(
+                    state.pose.params
+                )
+            )
 
         # --- 7. baseline for the reward ---
-        if ref_baseline:
+        if pose_ref_weight > 0.0:
+            pass  # l_ref already computed inside the mixed grad pass
+        elif ref_baseline:
             # reference augmentation forward (no grad) — the paper's
             # harder-than-reference comparison (crops computed in the fused
             # pass above)

@@ -234,6 +234,7 @@ class Experiment:
                 occ_levels=tuple(cfg.agent.occ_levels),
                 baseline=cfg.agent.reward_baseline,
                 update_every=cfg.agent.update_every,
+                pose_ref_weight=cfg.agent.pose_ref_weight,
             )
             if self.joint_fused:
                 # DP always; single-chip when agent.fused_step="fused"

@@ -395,6 +395,53 @@ class TestVariantEquivalence:
         _assert_trees_close(sf.agent.params, ss.agent.params, atol=1e-5)
         _assert_trees_close(sf.agent.batch_stats, ss.agent.batch_stats, atol=1e-5)
 
+    def test_split_equals_fused_pose_ref_weight(self, synth):
+        """The mixed pose update (pose_ref_weight>0: one grad pass over
+        concat(adv, ref), in-pass reference losses feeding the reward) is
+        the same math in both program layouts."""
+        cfg = _tiny_cfg()
+        batch = next(iter(HostLoader(synth, 8, pad_hw=(256, 384))))
+        key = jax.random.PRNGKey(11)
+        model, agent, tx, atx, boxes, state0 = _components(
+            cfg, occ=True, dtype=jnp.float32, occ_mode="parts"
+        )
+        kw = dict(
+            scale_table=scale_bin_table(5),
+            rot_table=rotation_bin_table(5),
+            occ_boxes=boxes,
+            pose_ref_weight=0.5,
+        )
+        fused = jax.jit(
+            make_joint_step(model, agent, tx, atx, cfg.aug, (0.2, 0.2, 0.2), **kw)
+        )
+        split = make_joint_step_split(
+            model, agent, tx, atx, cfg.aug, (0.2, 0.2, 0.2), **kw
+        )
+        sf, mf = fused(state0, batch, key)
+        ss, ms = split(state0, batch, key)
+        for k in ("loss", "acc", "agent_loss", "advantage", "entropy"):
+            np.testing.assert_allclose(
+                float(mf[k]), float(ms[k]), atol=2e-5, rtol=1e-4, err_msg=k
+            )
+        _assert_trees_close(sf.pose.params, ss.pose.params, atol=1e-5)
+        _assert_trees_close(sf.pose.batch_stats, ss.pose.batch_stats, atol=1e-5)
+        _assert_trees_close(sf.agent.params, ss.agent.params, atol=1e-5)
+
+    def test_pose_ref_weight_validation(self, synth):
+        cfg = _tiny_cfg()
+        model, agent, tx, atx, _, _ = _components(cfg)
+        kw = dict(scale_table=scale_bin_table(5), rot_table=rotation_bin_table(5))
+        with pytest.raises(ValueError, match="requires ref_baseline"):
+            make_joint_step(
+                model, agent, tx, atx, cfg.aug, (0.2, 0.2, 0.2),
+                ref_baseline=False, pose_ref_weight=0.5, **kw,
+            )
+        with pytest.raises(ValueError, match="must be in"):
+            make_joint_step_split(
+                model, agent, tx, atx, cfg.aug, (0.2, 0.2, 0.2),
+                pose_ref_weight=1.0, **kw,
+            )
+
 
 @pytest.mark.slow
 class TestUpdateCadence:

@@ -64,6 +64,7 @@ def build_cfg(name, ann, imgs, out_dir, args, *, adversarial, init_from=""):
         cfg.agent.enabled = True
         cfg.agent.occ_mode = "parts"
         cfg.agent.occ_nodes = 9  # 1 + sum(PART_GROUPS["mpii"] levels)
+        cfg.agent.pose_ref_weight = args.pose_ref_weight
     return cfg
 
 
@@ -106,6 +107,12 @@ def main(argv=None):
     ap.add_argument("--num-train", type=int, default=96)
     ap.add_argument("--num-val", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--pose-ref-weight", type=float, default=0.0,
+        help="arm B: weight of reference crops in the pose update "
+        "(0 = reference protocol, pose trains on adversarial crops only; "
+        "0.5 anchors BN/training distribution on the reference recipe)",
+    )
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
         "--quick", action="store_true",
@@ -168,6 +175,8 @@ def main(argv=None):
         "pckh_gain": pckhB - pckhA,
         "epochs": [args.epochs1, args.epochs2],
         "hard_val": True,
+        "pose_ref_weight": args.pose_ref_weight,
+        "seed": args.seed,
     }
     out_json = os.path.join(args.out, "result.json")
     with open(out_json, "w") as f:
