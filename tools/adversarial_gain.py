@@ -62,16 +62,23 @@ def build_cfg(name, ann, imgs, out_dir, args, *, adversarial, init_from=""):
         )
     if adversarial:
         cfg.agent.enabled = True
-        cfg.agent.occ_mode = "parts"
-        cfg.agent.occ_nodes = 9  # 1 + sum(PART_GROUPS["mpii"] levels)
+        if not getattr(args, "no_occlusion", False):
+            cfg.agent.occ_mode = "parts"
+            cfg.agent.occ_nodes = 9  # 1 + sum(PART_GROUPS["mpii"] levels)
         cfg.agent.pose_ref_weight = args.pose_ref_weight
     return cfg
 
 
-def run_arm(cfg, progress):
+def run_arm(cfg, progress, skip=False):
     from posetpu.train.loop import Experiment
 
     exp = Experiment(cfg)
+    if skip:
+        # arm already trained in this out dir (phase1/armA are seed-
+        # deterministic — verified identical across three runs); reload
+        # its best checkpoint instead of re-training
+        exp.state, _, best = exp.ckpt.restore(exp.state, exp.ckpt.best_path)
+        return exp, float(best)
     state, best = exp.fit(progress=progress)
     return exp, best
 
@@ -107,6 +114,22 @@ def main(argv=None):
     ap.add_argument("--num-train", type=int, default=96)
     ap.add_argument("--num-val", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--skip-phase1", action="store_true",
+        help="reuse <out>/phase1 from a previous run (deterministic)",
+    )
+    ap.add_argument(
+        "--skip-arm-a", action="store_true",
+        help="reuse <out>/armA_baseline from a previous run",
+    )
+    ap.add_argument(
+        "--arm-b-tag", default="",
+        help="suffix for arm B's dir + result file (sweep without clobbering)",
+    )
+    ap.add_argument(
+        "--no-occlusion", action="store_true",
+        help="arm B: scale/rot ASR agent only (no AHO occlusion head)",
+    )
     ap.add_argument(
         "--pose-ref-weight", type=float, default=0.0,
         help="arm B: weight of reference crops in the pose update "
@@ -146,23 +169,26 @@ def main(argv=None):
 
     log = lambda s: print(f"[adv-gain] {s}", flush=True)
 
-    log(f"phase 1: baseline, {args.epochs1} epochs")
+    log(f"phase 1: baseline, {args.epochs1} epochs"
+        + (" [skip: reuse]" if args.skip_phase1 else ""))
     cfg1 = build_cfg("phase1", ann, imgs, args.out, args, adversarial=False)
-    exp1, best1 = run_arm(cfg1, log)
+    exp1, best1 = run_arm(cfg1, log, skip=args.skip_phase1)
     p1_dir = os.path.join(args.out, "phase1")
     log(f"phase 1 best val acc {best1:.4f}")
 
-    log(f"arm A: baseline fine-tune, {args.epochs2} epochs")
+    log(f"arm A: baseline fine-tune, {args.epochs2} epochs"
+        + (" [skip: reuse]" if args.skip_arm_a else ""))
     cfgA = build_cfg(
         "armA_baseline", ann, imgs, args.out, args,
         adversarial=False, init_from=p1_dir,
     )
-    expA, bestA = run_arm(cfgA, log)
+    expA, bestA = run_arm(cfgA, log, skip=args.skip_arm_a)
     pckhA, accA = final_pckh(expA)
 
-    log(f"arm B: adversarial fine-tune, {args.epochs2} epochs")
+    arm_b = "armB_adversarial" + (f"_{args.arm_b_tag}" if args.arm_b_tag else "")
+    log(f"arm B ({arm_b}): adversarial fine-tune, {args.epochs2} epochs")
     cfgB = build_cfg(
-        "armB_adversarial", ann, imgs, args.out, args,
+        arm_b, ann, imgs, args.out, args,
         adversarial=True, init_from=p1_dir,
     )
     expB, bestB = run_arm(cfgB, log)
@@ -176,9 +202,13 @@ def main(argv=None):
         "epochs": [args.epochs1, args.epochs2],
         "hard_val": True,
         "pose_ref_weight": args.pose_ref_weight,
+        "occlusion": not args.no_occlusion,
         "seed": args.seed,
     }
-    out_json = os.path.join(args.out, "result.json")
+    out_json = os.path.join(
+        args.out,
+        f"result_{args.arm_b_tag}.json" if args.arm_b_tag else "result.json",
+    )
     with open(out_json, "w") as f:
         json.dump(result, f, indent=2)
     log(f"hard-val PCKh@0.5: baseline {pckhA:.2f} vs adversarial {pckhB:.2f} "
