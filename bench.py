@@ -279,12 +279,17 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
 
 
 def run_bench_serve(batch=64, stacks=8, feats=128, steps=20, warmup=2,
-                    res=256, pad=320):
+                    res=256, pad=320, pipeline=0):
     """Serving throughput: the PosePredictor path (uint8 padded batch ->
     neutral warp -> hourglass forward -> reference-exact decode), timed
     per dispatch WITH the device->host result fetch every call — exactly
     what a serving frontend pays per batch.  (__call__ returns numpy, so
-    each call is a real sync; no scan fusion — serving is per-request.)"""
+    each call is a real sync; no scan fusion — serving is per-request.)
+
+    ``pipeline=K`` times PosePredictor.predict_iter(depth=K) instead:
+    up to K batches stay in flight, so each batch's fetch overlaps the
+    next batches' device compute — what a serving frontend with a request
+    queue pays per batch at steady state."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -308,6 +313,13 @@ def run_bench_serve(batch=64, stacks=8, feats=128, steps=20, warmup=2,
     scale = np.full((batch,), pad / 250.0, np.float32)
     for _ in range(warmup):
         p(images, valid_wh, center, scale)
+    if pipeline:
+        feed = ((images, valid_wh, center, scale) for _ in range(steps))
+        t0 = time.perf_counter()
+        for _ in p.predict_iter(feed, depth=pipeline):
+            pass
+        dt = time.perf_counter() - t0
+        return batch * steps / dt
     t0 = time.perf_counter()
     for _ in range(steps):
         p(images, valid_wh, center, scale)
@@ -468,6 +480,11 @@ def main():
         help="benchmark the serving path (PosePredictor: warp + forward "
         "+ decode, per-dispatch with result fetch)",
     )
+    ap.add_argument(
+        "--pipeline", type=int, default=0, metavar="DEPTH",
+        help="with --serve: keep DEPTH batches in flight "
+        "(PosePredictor.predict_iter) instead of syncing per call",
+    )
     args = ap.parse_args()
 
     per_dispatch = bool(args.loader or args.joint or args.serve)
@@ -516,8 +533,12 @@ def main():
     elif args.serve:
         if args.batch is None and not args.quick:
             kw["batch"] = 64  # serving sweet spot; --quick keeps batch 4
+        if args.pipeline:
+            kw["pipeline"] = args.pipeline
         ips = run_bench_serve(**kw)
-        metric = "images/sec/chip (serving: warp+forward+decode)"
+        metric = "images/sec/chip (serving: warp+forward+decode" + (
+            f", pipelined depth={args.pipeline})" if args.pipeline else ")"
+        )
     else:
         if args.trials:
             kw["trials"] = args.trials

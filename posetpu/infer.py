@@ -172,6 +172,41 @@ class PosePredictor:
         )
         return {k: np.asarray(v) for k, v in out.items()}
 
+    def predict_iter(self, batches, depth=2):
+        """Pipelined batch prediction: keep up to ``depth`` batches in
+        flight before fetching the oldest result, so the host-side
+        dispatch/fetch cost of batch N overlaps the device compute of
+        batches N+1..N+depth (JAX dispatch is asynchronous; the
+        device→host fetch in ``np.asarray`` is the only sync).  Same
+        numerics as calling the predictor per batch — order preserved.
+
+        ``batches`` yields ``(images, valid_wh, center, scale)`` tuples
+        with the ``__call__`` contract (fixed shapes across batches keep
+        one compiled program).  Yields the same result dicts as
+        ``__call__``.  ``depth=0`` degenerates to sequential calls."""
+        from collections import deque
+
+        variables = {"params": self.params, "batch_stats": self.batch_stats}
+        inflight = deque()
+
+        def fetch(out):
+            return {k: np.asarray(v) for k, v in out.items()}
+
+        for images, valid_wh, center, scale in batches:
+            inflight.append(
+                self._predict(
+                    variables,
+                    jnp.asarray(images),
+                    jnp.asarray(valid_wh, jnp.int32),
+                    jnp.asarray(center, jnp.float32),
+                    jnp.asarray(scale, jnp.float32),
+                )
+            )
+            if len(inflight) > depth:
+                yield fetch(inflight.popleft())
+        while inflight:
+            yield fetch(inflight.popleft())
+
     def predict_single(self, image, center, scale):
         """One undecoded-size image (H, W, 3) uint8 -> (K, 2) keypoints +
         (K,) confidences.  Pads to the image's own shape rounded up to a

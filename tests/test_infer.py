@@ -64,6 +64,32 @@ class TestPosePredictor:
         np.testing.assert_allclose(out1["pred"], out2["pred"], atol=1e-4)
         np.testing.assert_allclose(out1["conf"], out2["conf"], atol=1e-5)
 
+    @pytest.mark.parametrize("depth", [0, 2, 5])
+    def test_predict_iter_matches_sequential(self, depth):
+        """Pipelined prediction is the same numerics as per-batch calls,
+        in order, for any in-flight depth (including depth > #batches)."""
+        p = _tiny_predictor()
+        rng = np.random.RandomState(1)
+        batches = [_batch(np.random.RandomState(s), 2) for s in range(3)]
+        seq = [
+            p(b["images"], b["valid_wh"], b["center"], b["scale"])
+            for b in batches
+        ]
+        piped = list(
+            p.predict_iter(
+                (
+                    (b["images"], b["valid_wh"], b["center"], b["scale"])
+                    for b in batches
+                ),
+                depth=depth,
+            )
+        )
+        assert len(piped) == len(seq)
+        for a, b in zip(seq, piped):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
     def test_predict_single_matches_batch(self):
         p = _tiny_predictor()
         rng = np.random.RandomState(2)
