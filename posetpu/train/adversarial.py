@@ -421,41 +421,22 @@ def make_joint_step_split(
             "extras": extras,
         }
 
-    @jax.jit
-    def stage_b(pose_state: TrainState, inp_a, tgt_a):
-        target = tgt_a.transpose(0, 2, 3, 1)
-
-        def loss_fn(p):
-            outs, mut = pose_model.apply(
-                {"params": p, "batch_stats": pose_state.batch_stats},
-                inp_a,
-                train=True,
-                mutable=["batch_stats"],
-            )
-            l_sample = per_sample_stacked_mse(outs, target)
-            return jnp.mean(l_sample), (l_sample, mut["batch_stats"], outs[-1])
-
-        (loss, (l_adv, new_bs, last)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(pose_state.params)
-        updates, new_opt = pose_tx.update(
-            grads, pose_state.opt_state, pose_state.params
-        )
-        new_params = optax.apply_updates(pose_state.params, updates)
-        acc = accuracy(last.astype(jnp.float32).transpose(0, 3, 1, 2), tgt_a)[0]
-        new_state = TrainState(
-            params=new_params,
-            batch_stats=new_bs,
-            opt_state=new_opt,
-            step=pose_state.step + 1,
-        )
-        return new_state, loss, l_adv, acc
+    mixed = pose_ref_weight > 0.0
 
     @jax.jit
-    def stage_b_mixed(pose_state: TrainState, inp_a, tgt_a, inp_r, tgt_r):
+    def stage_b(pose_state: TrainState, inp_a, tgt_a, inp_r, tgt_r):
+        """Pose fwd/bwd + update.  Unmixed: on the adversarial batch
+        alone (inp_r/tgt_r are traced but unused).  Mixed: one grad pass
+        over concat(adv, ref) with the weighted loss — the same body,
+        branched at trace time."""
         B = inp_a.shape[0]
-        inp_t = jnp.concatenate([inp_a, inp_r], axis=0)
-        target = jnp.concatenate([tgt_a, tgt_r], axis=0).transpose(0, 2, 3, 1)
+        if mixed:
+            inp_t = jnp.concatenate([inp_a, inp_r], axis=0)
+            target = jnp.concatenate([tgt_a, tgt_r], axis=0).transpose(
+                0, 2, 3, 1
+            )
+        else:
+            inp_t, target = inp_a, tgt_a.transpose(0, 2, 3, 1)
 
         def loss_fn(p):
             outs, mut = pose_model.apply(
@@ -464,13 +445,16 @@ def make_joint_step_split(
                 train=True,
                 mutable=["batch_stats"],
             )
-            l_sample = per_sample_stacked_mse(outs, target)  # (2B,)
-            loss = (1.0 - pose_ref_weight) * jnp.mean(
-                l_sample[:B]
-            ) + pose_ref_weight * jnp.mean(l_sample[B:])
+            l_sample = per_sample_stacked_mse(outs, target)  # (B,) or (2B,)
+            if mixed:
+                loss = (1.0 - pose_ref_weight) * jnp.mean(
+                    l_sample[:B]
+                ) + pose_ref_weight * jnp.mean(l_sample[B:])
+            else:
+                loss = jnp.mean(l_sample)
             return loss, (l_sample, mut["batch_stats"], outs[-1][:B])
 
-        (loss, (l_both, new_bs, last)), grads = jax.value_and_grad(
+        (loss, (l_sample, new_bs, last)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(pose_state.params)
         updates, new_opt = pose_tx.update(
@@ -484,7 +468,7 @@ def make_joint_step_split(
             opt_state=new_opt,
             step=pose_state.step + 1,
         )
-        return new_state, loss, l_both[:B], l_both[B:], acc
+        return new_state, loss, l_sample, acc
 
     @jax.jit
     def stage_c(pose_state: TrainState, inp_r, tgt_r):
@@ -512,18 +496,18 @@ def make_joint_step_split(
     def joint_step(state: JointState, batch, key):
         key = jax.random.fold_in(key, state.step)
         staged = stage_a(state.agent, batch, key)
-        if pose_ref_weight > 0.0:
-            new_pose, loss, l_adv, l_ref, acc = stage_b_mixed(
-                state.pose,
-                staged["inp_a"],
-                staged["tgt_a"],
-                staged["inp_r"],
-                staged["tgt_r"],
-            )
+        new_pose, loss, l_sample, acc = stage_b(
+            state.pose,
+            staged["inp_a"],
+            staged["tgt_a"],
+            staged["inp_r"],
+            staged["tgt_r"],
+        )
+        B = staged["inp_a"].shape[0]
+        l_adv = l_sample[:B]
+        if mixed:
+            l_ref = l_sample[B:]
         else:
-            new_pose, loss, l_adv, acc = stage_b(
-                state.pose, staged["inp_a"], staged["tgt_a"]
-            )
             l_ref = stage_c(state.pose, staged["inp_r"], staged["tgt_r"])
         do_update = (state.step % update_every) == 0
         new_agent, agent_loss, ent = stage_d(
@@ -652,63 +636,43 @@ def make_joint_step(
                 _occ_box_table(occ, occ_boxes, tpts_a, tw_a, aug_cfg),
             )
 
-        # --- 6. pose forward/backward on the adversarial batch ---
-        if pose_ref_weight > 0.0:
-            # mixed pose update: one grad pass over concat(adv, ref); the
-            # in-pass reference losses double as the reward baseline
+        # --- 6. pose forward/backward on the adversarial batch (mixed
+        # mode: one grad pass over concat(adv, ref), whose in-pass
+        # reference losses double as the reward baseline) ---
+        mixed = pose_ref_weight > 0.0
+        if mixed:
             inp_t = jnp.concatenate([inp_a, inp_r], axis=0)
             tgt_t = jnp.concatenate([target_a, tgt_r], axis=0)
+        else:
+            inp_t, tgt_t = inp_a, target_a
 
-            def pose_loss_fn(pose_params):
-                outs, mut = pose_model.apply(
-                    {
-                        "params": pose_params,
-                        "batch_stats": state.pose.batch_stats,
-                    },
-                    inp_t,
-                    train=True,
-                    mutable=["batch_stats"],
-                )
-                l_sample = per_sample_stacked_mse(outs, tgt_t)  # (2B,)
+        def pose_loss_fn(pose_params):
+            outs, mut = pose_model.apply(
+                {
+                    "params": pose_params,
+                    "batch_stats": state.pose.batch_stats,
+                },
+                inp_t,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            l_sample = per_sample_stacked_mse(outs, tgt_t)  # (B,) or (2B,)
+            if mixed:
                 loss = (1.0 - pose_ref_weight) * jnp.mean(
                     l_sample[:B]
                 ) + pose_ref_weight * jnp.mean(l_sample[B:])
-                return loss, (l_sample, mut["batch_stats"], outs[-1][:B])
+            else:
+                loss = jnp.mean(l_sample)
+            return loss, (l_sample, mut["batch_stats"], outs[-1][:B])
 
-            (pose_loss, (l_both, new_pose_bs, last)), pose_grads = (
-                jax.value_and_grad(pose_loss_fn, has_aux=True)(
-                    state.pose.params
-                )
-            )
-            l_adv, l_ref = l_both[:B], l_both[B:]
-        else:
-
-            def pose_loss_fn(pose_params):
-                outs, mut = pose_model.apply(
-                    {
-                        "params": pose_params,
-                        "batch_stats": state.pose.batch_stats,
-                    },
-                    inp_a,
-                    train=True,
-                    mutable=["batch_stats"],
-                )
-                l_sample = per_sample_stacked_mse(outs, target_a)  # (B,)
-                return jnp.mean(l_sample), (
-                    l_sample,
-                    mut["batch_stats"],
-                    outs[-1],
-                )
-
-            (pose_loss, (l_adv, new_pose_bs, last)), pose_grads = (
-                jax.value_and_grad(pose_loss_fn, has_aux=True)(
-                    state.pose.params
-                )
-            )
+        (pose_loss, (l_sample, new_pose_bs, last)), pose_grads = (
+            jax.value_and_grad(pose_loss_fn, has_aux=True)(state.pose.params)
+        )
+        l_adv = l_sample[:B]
 
         # --- 7. baseline for the reward ---
-        if pose_ref_weight > 0.0:
-            pass  # l_ref already computed inside the mixed grad pass
+        if mixed:
+            l_ref = l_sample[B:]  # from the mixed grad pass
         elif ref_baseline:
             # reference augmentation forward (no grad) — the paper's
             # harder-than-reference comparison (crops computed in the fused

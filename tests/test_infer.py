@@ -69,7 +69,6 @@ class TestPosePredictor:
         """Pipelined prediction is the same numerics as per-batch calls,
         in order, for any in-flight depth (including depth > #batches)."""
         p = _tiny_predictor()
-        rng = np.random.RandomState(1)
         batches = [_batch(np.random.RandomState(s), 2) for s in range(3)]
         seq = [
             p(b["images"], b["valid_wh"], b["center"], b["scale"])

@@ -367,4 +367,5 @@ class TestFusedDispatch:
             atol=5e-4,
             lr=cfg.optim.lr,
             max_flip_frac=0.02,
+            steps=2,
         )

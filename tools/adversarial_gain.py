@@ -72,13 +72,17 @@ def build_cfg(name, ann, imgs, out_dir, args, *, adversarial, init_from=""):
 def run_arm(cfg, progress, skip=False):
     from posetpu.train.loop import Experiment
 
-    exp = Experiment(cfg)
     if skip:
         # arm already trained in this out dir (phase1/armA are seed-
         # deterministic — verified identical across three runs); reload
-        # its best checkpoint instead of re-training
+        # its best checkpoint instead of re-training.  resume mode keeps
+        # Experiment's Logger in append mode — without it the constructor
+        # would TRUNCATE the reused arm's log.txt (the study's curves)
+        cfg.resume = "auto"
+        exp = Experiment(cfg)
         exp.state, _, best = exp.ckpt.restore(exp.state, exp.ckpt.best_path)
         return exp, float(best)
+    exp = Experiment(cfg)
     state, best = exp.fit(progress=progress)
     return exp, best
 
@@ -156,6 +160,13 @@ def main(argv=None):
 
     root = os.path.join(args.out, "data")
     ann = os.path.join(root, "annotations.json")
+    meta_path = os.path.join(root, "meta.json")
+    data_meta = {
+        "seed": args.seed,
+        "num_train": args.num_train,
+        "num_val": args.num_val,
+        "hard_val": True,
+    }
     if not os.path.exists(ann):
         make_synthetic_dataset(
             root,
@@ -165,6 +176,19 @@ def main(argv=None):
             seed=args.seed,
             hard_val=True,
         )
+        with open(meta_path, "w") as f:
+            json.dump(data_meta, f)
+    elif os.path.exists(meta_path):
+        # reusing an existing split: the CLI args must describe THE SAME
+        # data, or result.json would misrecord the study's provenance
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev != data_meta:
+            raise SystemExit(
+                f"[adv-gain] {root} holds a split generated with {prev}, "
+                f"but this invocation says {data_meta} — pick a fresh --out "
+                "or match the generation args"
+            )
     imgs = os.path.join(root, "images")
 
     log = lambda s: print(f"[adv-gain] {s}", flush=True)
@@ -178,6 +202,18 @@ def main(argv=None):
 
     log(f"arm A: baseline fine-tune, {args.epochs2} epochs"
         + (" [skip: reuse]" if args.skip_arm_a else ""))
+    if args.skip_arm_a:
+        # equal-budget contract: the reused arm must have trained exactly
+        # the epoch count this sweep's arm B is about to get
+        a_log = os.path.join(args.out, "armA_baseline", "log.txt")
+        with open(a_log) as f:
+            trained = sum(1 for _ in f) - 1  # minus header
+        if trained != args.epochs2:
+            raise SystemExit(
+                f"[adv-gain] reused arm A trained {trained} epochs but "
+                f"--epochs2 is {args.epochs2} — the A/B would not be "
+                "equal-budget; re-train arm A or match --epochs2"
+            )
     cfgA = build_cfg(
         "armA_baseline", ann, imgs, args.out, args,
         adversarial=False, init_from=p1_dir,
@@ -204,6 +240,8 @@ def main(argv=None):
         "pose_ref_weight": args.pose_ref_weight,
         "occlusion": not args.no_occlusion,
         "seed": args.seed,
+        "reused_phase1": args.skip_phase1,
+        "reused_arm_a": args.skip_arm_a,
     }
     out_json = os.path.join(
         args.out,
