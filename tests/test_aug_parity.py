@@ -128,6 +128,67 @@ class TestWarpParity:
         assert out.max() <= 0.5 + 1e-6
 
 
+class TestRandomizedParitySweep:
+    """Seeded randomized sweep over the augmentation-parameter space
+    (beyond the four golden CASES): warp and point-transform parity must
+    hold across the full (center, scale, rotation) ranges the training
+    recipes draw from, including half-pixel centers, near-±rot_factor·2
+    rotations, and sub-/super-unit scales."""
+
+    N = 48
+
+    def _draws(self):
+        rng = np.random.RandomState(42)
+        centers = np.stack(
+            [rng.uniform(20, 300, self.N), rng.uniform(20, 220, self.N)], 1
+        )
+        # exercise exact half-pixel centers (the crop-window rounding edge
+        # a round-2 review fix addressed) on a quarter of the draws
+        half = rng.rand(self.N) < 0.25
+        centers[half] = np.floor(centers[half]) + 0.5
+        scales = rng.uniform(0.5, 2.5, self.N)
+        rots = rng.uniform(-60.0, 60.0, self.N)
+        rots[rng.rand(self.N) < 0.1] = 0.0  # the un-rotated fast path too
+        return centers, scales, rots
+
+    def test_warp_matches_oracle_sweep(self):
+        rng = np.random.RandomState(7)
+        img = rng.rand(240, 320, 3).astype(np.float32)
+        centers, scales, rots = self._draws()
+        imgs = np.broadcast_to(img, (self.N, 240, 320, 3))
+        t = make_transform(centers, scales, (64, 64), rots)
+        out = np.asarray(affine_warp(imgs, t, (64, 64)))
+        for i in range(self.N):
+            ref = oracle_crop(
+                img, centers[i], scales[i], (64, 64), rot=rots[i]
+            )
+            np.testing.assert_allclose(
+                out[i], ref, atol=2e-4,
+                err_msg=f"draw {i}: c={centers[i]} s={scales[i]:.3f} "
+                f"r={rots[i]:.2f}",
+            )
+
+    def test_point_transform_matches_oracle_sweep(self):
+        centers, scales, rots = self._draws()
+        rng = np.random.RandomState(8)
+        pts = np.stack(
+            [rng.uniform(0, 320, (self.N, 16)), rng.uniform(0, 240, (self.N, 16))],
+            -1,
+        )
+        t = make_transform(centers, scales, (64, 64), rots)
+        dev = np.asarray(transform_points(jnp.asarray(pts), t))
+        for i in range(self.N):
+            for k in range(16):
+                ref = oracle_transform(
+                    pts[i, k], centers[i], scales[i], (64, 64), rot=rots[i]
+                )
+                np.testing.assert_allclose(
+                    dev[i, k], ref, atol=5e-3,
+                    err_msg=f"draw {i} joint {k}: c={centers[i]} "
+                    f"s={scales[i]:.3f} r={rots[i]:.2f}",
+                )
+
+
 class TestRasterizerParity:
     def test_matches_oracle_many_points(self):
         rng = np.random.RandomState(3)
