@@ -45,8 +45,11 @@ class PoseDataset:
         self.samples = samples
         self.split = split
         self.adjust = adjust
+        # caches are split-dependent values — name them per split so a
+        # val-split object can never poison the train split's numbers
+        # (auto pad_hw sizing and color normalization both read these)
         self._mean_cache = os.path.join(
-            os.path.dirname(json_path), f"{self.name}_mean.json"
+            os.path.dirname(json_path), f"{self.name}_{split}_mean.json"
         )
 
     def __len__(self):
@@ -58,7 +61,10 @@ class PoseDataset:
         s = self.samples[i]
         c = s.center.copy()
         sc = s.scale
-        if self.adjust and c[0] >= 1:
+        # the reference guards on the -1 sentinel exactly (`c[0] != -1`),
+        # not on c[0] >= 1 — a far-left center with x in [0, 1) must still
+        # get the adjustment
+        if self.adjust and c[0] != -1:
             c[1] = c[1] + MPII_CENTER_Y_SHIFT * sc
             sc = sc * MPII_SCALE_INFLATE
         return c, sc, s.pts.copy(), s.vis.copy()
@@ -82,7 +88,8 @@ class PoseDataset:
         device warp masks reads beyond ``valid_wh`` to zero, so canvas
         beyond the largest real image buys nothing but H2D bytes."""
         cache = os.path.join(
-            os.path.dirname(self._mean_cache), f"{self.name}_maxhw.json"
+            os.path.dirname(self._mean_cache),
+            f"{self.name}_{self.split}_maxhw.json",
         )
         if os.path.exists(cache):
             with open(cache) as f:

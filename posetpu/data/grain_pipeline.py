@@ -43,8 +43,9 @@ class GrainLoader:
         seed=0,
         drop_last=True,
         num_workers=0,
-        prefetch=2,  # accepted for HostLoader signature parity (grain
-        # prefetches via worker buffers; no-op in-process)
+        prefetch=2,  # H2D queue depth when place= is set (same knob as
+        # HostLoader); without place=, grain's worker buffers do the
+        # prefetching and this is a no-op
         backend=None,  # ditto
         place=None,  # same async-H2D hook as HostLoader(place=...)
         group=1,  # stack K batches per (K, B, ...) superbatch, as HostLoader
@@ -57,6 +58,7 @@ class GrainLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.place = place
+        self.prefetch = prefetch
         if group < 1:
             raise ValueError(f"group must be >= 1, got {group}")
         self.group = group
@@ -104,4 +106,4 @@ class GrainLoader:
             # grain iterates on the consumer thread; a plain place() here
             # would serialize the H2D with the train loop — run it in a
             # background thread like HostLoader does
-            yield from threaded_place_iter(src, self.place)
+            yield from threaded_place_iter(src, self.place, prefetch=self.prefetch)

@@ -69,6 +69,10 @@ def load_sample(dataset, i, pad_hw):
         "pts": (pts - [off_x, off_y]).astype(np.float32),
         "vis": vis.astype(np.float32),
         "index": np.int32(i),
+        # the crop-window offset, so eval can map predictions back to the
+        # ORIGINAL image frame (annotations/preds.mat live there; center/
+        # pts above are in the cropped frame)
+        "offset": np.array([off_x, off_y], np.int32),
     }
 
 
@@ -236,12 +240,17 @@ class HostLoader:
         images, wh, offs, ok = self._decoder.decode_batch(
             paths, centers, self.pad_hw
         )
+        report_off = np.asarray(offs, np.int32).copy()  # surfaced to eval
         for j, i in enumerate(sel):
             if not ok[j]:  # non-JPEG / unreadable: PIL fallback in place
                 item = load_sample(ds, int(i), self.pad_hw)
                 images[j] = item["image"]
                 wh[j] = item["valid_wh"]
+                # item's center/pts are ALREADY shifted by its own crop
+                # offset: subtract nothing below, but report the offset so
+                # eval maps preds back to the original frame
                 offs[j] = 0
+                report_off[j] = item["offset"]
                 metas[j] = (
                     item["center"].astype(np.float64),
                     float(item["scale"]),
@@ -261,6 +270,7 @@ class HostLoader:
             ).astype(np.float32),
             "vis": np.stack([m[3] for m in metas]).astype(np.float32),
             "index": np.asarray(sel, np.int32),
+            "offset": report_off,
         }
 
     def __len__(self):

@@ -29,6 +29,12 @@ class SampleMeta:
     # to 1.2 * |head_top - upper_neck|; real MPII annotations converted
     # with the head box run the official protocol unmodified.
     head_rect: np.ndarray | None = None
+    # Original `img_paths` value from the source JSON (may carry a
+    # subdirectory, e.g. "images/037454012.jpg").  dump_annotations
+    # writes it back verbatim so load->dump->load round-trips resolve to
+    # the same files; falls back to basename(img_path) when absent
+    # (samples constructed programmatically).
+    img_rel: str | None = None
 
     @property
     def num_joints(self):
@@ -60,6 +66,7 @@ def load_annotations(json_path, images_dir=""):
                 head_rect=(
                     np.asarray(head, np.float64) if head is not None else None
                 ),
+                img_rel=a["img_paths"],
             )
         )
     return out
@@ -71,7 +78,7 @@ def dump_annotations(samples, json_path):
     for s in samples:
         raw.append(
             {
-                "img_paths": os.path.basename(s.img_path),
+                "img_paths": s.img_rel or os.path.basename(s.img_path),
                 "objpos": [float(x) for x in s.center],
                 "scale_provided": float(s.scale),
                 "joint_self": [

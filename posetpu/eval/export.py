@@ -9,14 +9,17 @@ import numpy as np
 
 def save_preds(preds, path):
     """Save (N, K, 2) predictions. ``.mat`` uses key 'preds' like the
-    reference; any other extension writes .npz."""
+    reference; any other extension writes .npz AT ``path`` exactly
+    (np.savez alone would append '.npz' to a bare name, breaking the
+    save->load round-trip)."""
     preds = np.asarray(preds)
     if path.endswith(".mat"):
         from scipy.io import savemat
 
         savemat(path, {"preds": preds})
     else:
-        np.savez(path, preds=preds)
+        with open(path, "wb") as f:
+            np.savez(f, preds=preds)
 
 
 def load_preds(path):

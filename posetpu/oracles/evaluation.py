@@ -89,7 +89,10 @@ def final_preds(output, center, scale, res):
             hm = output[n, p]
             px = int(math.floor(coords[n, p, 0]))
             py = int(math.floor(coords[n, p, 1]))
-            if 1 < px < res[0] and 1 < py < res[1]:
+            # res is (H, W) repo-wide (get_transform scales x by res[1]):
+            # bound the x coord by the width and y by the height — on the
+            # reference's square maps the two readings coincide
+            if 1 < px < res[1] and 1 < py < res[0]:
                 diff = np.array(
                     [
                         hm[py - 1, px] - hm[py - 1, px - 2],

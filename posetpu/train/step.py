@@ -209,6 +209,13 @@ def make_eval_step(model, aug_cfg, mean, std=None, axis_name=None):
         preds = final_preds(
             scores, aug["center"], aug["scale"], tuple(aug_cfg.out_res)
         )
+        # map back to the ORIGINAL image frame: the loader's pad_hw crop
+        # window shifted center/pts by an integer offset (loader.py
+        # load_sample); offline PCKh / preds.mat compare against the
+        # unshifted annotations
+        off = batch.get("offset")
+        if off is not None:
+            preds = preds + off[:, None, :].astype(preds.dtype)
         return {"loss": loss, "acc": acc}, preds
 
     return eval_step

@@ -35,6 +35,27 @@ class TestSchema:
         assert s.scale > 0
         assert os.path.exists(s.img_path)
 
+    def test_dump_preserves_subdir_img_paths(self, synth_dir, tmp_path):
+        """Reference JSONs carry subdirectories in img_paths (e.g.
+        'images/0374.jpg'); load->dump->load must resolve to the same
+        files instead of dropping the subdir."""
+        from posetpu.data import dump_annotations
+
+        with open(os.path.join(synth_dir, "annotations.json")) as f:
+            raw = json.load(f)
+        for a in raw:
+            a["img_paths"] = "images/" + a["img_paths"]
+        src = os.path.join(tmp_path, "sub.json")
+        with open(src, "w") as f:
+            json.dump(raw, f)
+        samples = load_annotations(src, synth_dir)  # images under synth/images
+        assert os.path.exists(samples[0].img_path)
+        out = os.path.join(tmp_path, "round.json")
+        dump_annotations(samples, out)
+        samples2 = load_annotations(out, synth_dir)
+        assert [s.img_path for s in samples2] == [s.img_path for s in samples]
+        assert os.path.exists(samples2[0].img_path)
+
     def test_reference_schema_keys(self, synth_dir):
         with open(os.path.join(synth_dir, "annotations.json")) as f:
             raw = json.load(f)
@@ -71,6 +92,55 @@ class TestDatasets:
         assert (mean > 0).all() and (mean < 1).all()
         mean2, _ = ds.mean_std()  # second call hits the cache file
         np.testing.assert_allclose(mean, mean2)
+
+    def test_adjustment_guard_matches_reference_sentinel(self, tmp_path):
+        """The reference guards the center/scale adjustment on the exact
+        -1 sentinel; a far-left center with x in [0, 1) still gets it."""
+        ann = [
+            {
+                "img_paths": "a.jpg",
+                "objpos": [0.5, 100.0],
+                "scale_provided": 1.0,
+                "joint_self": [[10.0, 10.0, 1.0]] * 16,
+                "isValidation": 0.0,
+            },
+            {
+                "img_paths": "a.jpg",
+                "objpos": [-1.0, -1.0],
+                "scale_provided": 1.0,
+                "joint_self": [[10.0, 10.0, 1.0]] * 16,
+                "isValidation": 0.0,
+            },
+        ]
+        path = os.path.join(tmp_path, "ann.json")
+        with open(path, "w") as f:
+            json.dump(ann, f)
+        ds = MpiiDataset(path, str(tmp_path), split="train", adjust=True)
+        c0, s0, _, _ = ds.meta(0)
+        assert s0 == 1.25 and c0[1] == 115.0  # adjusted despite x < 1
+        c1, s1, _, _ = ds.meta(1)
+        assert s1 == 1.0 and c1[1] == -1.0  # sentinel: untouched
+
+    def test_caches_are_split_scoped(self, tmp_path):
+        """mean/maxhw caches are per-split files — a valid-split object
+        can never poison the train split's pad_hw sizing or mean."""
+        make_synthetic_dataset(str(tmp_path), num_train=3, num_val=2)
+        path = os.path.join(tmp_path, "annotations.json")
+        imgs = os.path.join(tmp_path, "images")
+        val = MpiiDataset(path, imgs, split="valid")
+        val.max_image_hw()
+        val.mean_std(max_samples=2)
+        train = MpiiDataset(path, imgs, split="train")
+        train.max_image_hw()
+        train.mean_std(max_samples=2)
+        names = set(os.listdir(tmp_path))
+        for f in (
+            "mpii_train_maxhw.json",
+            "mpii_valid_maxhw.json",
+            "mpii_train_mean.json",
+            "mpii_valid_mean.json",
+        ):
+            assert f in names, f
 
     def test_lsp_dataset(self, tmp_path):
         make_synthetic_dataset(

@@ -1,5 +1,7 @@
 """Device decode/PCK parity vs the numpy oracles (SURVEY.md §4.1)."""
 
+import os
+
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -56,6 +58,48 @@ class TestDecodeParity:
         # integer truncation parity: allow |diff| <= 1 at boundary cases
         assert (np.abs(dev - ref) <= 1.0 + 1e-6).all()
         assert (dev == ref).mean() > 0.9
+
+    def test_final_preds_nonsquare_matches_oracle(self):
+        """Non-square heatmaps: x must be bounded by the WIDTH and y by
+        the HEIGHT in the quarter-offset in-bounds test (res is (H, W)
+        repo-wide) — a swap only shows up off the square case."""
+        rng = np.random.RandomState(4)
+        H, W = 32, 16
+        peaks = [
+            [(int(x), int(y)) for x, y in zip(
+                rng.randint(1, W - 1, 16), rng.randint(1, H - 1, 16)
+            )]
+            for _ in range(3)
+        ]
+        # include edge peaks that straddle the swapped bounds (x near W,
+        # y in (W, H)) — exactly where an axis swap diverges or crashes
+        peaks[0][0] = (W - 1, H - 2)
+        peaks[0][1] = (2, H - 1)
+        peaks[0][2] = (W - 2, W + 3)
+        hm = _mk_heatmaps(peaks, res=(H, W), noise=0.2, seed=5)
+        center = np.array([[150.3, 120.9], [200.1, 90.4], [80.7, 60.2]])
+        scale = np.array([1.1, 0.9, 1.7])
+        dev = np.asarray(
+            final_preds(
+                jnp.asarray(hm), jnp.asarray(center), jnp.asarray(scale), (H, W)
+            )
+        )
+        ref = oracle_final_preds(hm, center, scale, (H, W))
+        assert (np.abs(dev - ref) <= 1.0 + 1e-6).all()
+        assert (dev == ref).mean() > 0.9
+
+    def test_save_load_preds_round_trip(self, tmp_path):
+        """save_preds/load_preds round-trip for .mat, .npz AND a bare
+        extension (np.savez alone would write '<path>.npz' and break the
+        read-back)."""
+        from posetpu.eval.export import load_preds, save_preds
+
+        preds = np.random.RandomState(0).rand(5, 16, 2)
+        for name in ("p.mat", "p.npz", "p.bin"):
+            path = str(tmp_path / name)
+            save_preds(preds, path)
+            assert os.path.exists(path), name
+            np.testing.assert_allclose(load_preds(path), preds, err_msg=name)
 
     def test_quarter_offset_direction(self):
         hm = np.zeros((1, 1, 64, 64))

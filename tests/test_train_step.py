@@ -95,6 +95,35 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["loss"]))
         assert 0.0 <= float(metrics["acc"]) <= 1.0
 
+    @pytest.mark.slow
+    def test_eval_preds_in_original_frame_under_crop(self, synth):
+        """When an image exceeds pad_hw the loader takes an integer crop
+        window and shifts center/pts; eval predictions must come back in
+        the ORIGINAL image frame (where annotations and preds.mat live),
+        identical to the uncropped-window run on the same samples."""
+        cfg = _tiny_cfg()
+        model, tx, state = _setup(cfg)
+        ev = jax.jit(make_eval_step(model, cfg.aug, MEAN))
+        # 320x240 images: (256, 384) holds them whole; (240, 256) forces
+        # an x-crop (window still covers every person's crop box:
+        # box = 200*s_adj <= 1.25*0.8*240 = 240 <= 256)
+        big = next(iter(HostLoader(synth, 8, pad_hw=(256, 384), seed=5)))
+        small = next(iter(HostLoader(synth, 8, pad_hw=(240, 256), seed=5)))
+        np.testing.assert_array_equal(big["index"], small["index"])
+        assert (small["offset"] != 0).any()  # the crop actually engaged
+        np.testing.assert_allclose(
+            small["center"] + small["offset"], big["center"], atol=1e-5
+        )
+        _, p_big = ev(state, big)
+        _, p_small = ev(state, small)
+        # the crop shifts the affine by an integer offset, so the warped
+        # pixels agree only to f32 noise (~1e-5); through an UNTRAINED
+        # model whose heatmaps are noise, that can flip near-tie argmaxes
+        # on a few joints (measured 3/256).  The frame mapping itself is
+        # exact — require near-total agreement and bound the tie flips.
+        d = np.abs(np.asarray(p_small) - np.asarray(p_big))
+        assert (d <= 1e-3).mean() > 0.95, f"{(d > 1e-3).sum()} coords differ"
+
 
 @pytest.mark.slow
 class TestDataParallel:
