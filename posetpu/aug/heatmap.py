@@ -19,6 +19,22 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def window_inside(ipx, ipy, res, sigma):
+    """Reference visibility rule on the *integer* window
+    [pt-3s, pt+3s+1): invisible iff ul >= size or br < 0 on either axis.
+    ``ipx``/``ipy`` are integer-valued f32 arrays; the ONE definition used
+    by both rasterizer backends (XLA here, Pallas kernel + its vis output)
+    so the rule cannot drift between them."""
+    H, W = res
+    s3 = jnp.float32(int(3 * sigma))
+    return (
+        (ipx - s3 < W)
+        & (ipy - s3 < H)
+        & (ipx + s3 + 1 >= 0)
+        & (ipy + s3 + 1 >= 0)
+    )
+
+
 def rasterize_gaussians(pts, visible, res, sigma=1.0, backend="auto"):
     """Rasterize target heatmaps.
 
@@ -57,16 +73,8 @@ def rasterize_gaussians(pts, visible, res, sigma=1.0, backend="auto"):
     g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
     g = g * (jnp.abs(dx) <= win) * (jnp.abs(dy) <= win)
 
-    # Reference visibility rule on the *integer* window
-    # [pt-3s, pt+3s+1): invisible iff ul >= size or br < 0 on either axis.
-    ipx = jnp.trunc(pts[..., 0])
-    ipy = jnp.trunc(pts[..., 1])
-    s3 = jnp.float32(int(3 * sigma))
-    inside = (
-        (ipx - s3 < W)
-        & (ipy - s3 < H)
-        & (ipx + s3 + 1 >= 0)
-        & (ipy + s3 + 1 >= 0)
+    inside = window_inside(
+        jnp.trunc(pts[..., 0]), jnp.trunc(pts[..., 1]), res, sigma
     )
     vis_out = (jnp.asarray(visible) > 0) & inside
     vis_f = vis_out.astype(jnp.float32)

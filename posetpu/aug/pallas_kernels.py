@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from posetpu.aug.heatmap import window_inside
+
 _ROWS = 8  # maps per grid step (f32 sublane tile)
 
 
@@ -47,14 +49,15 @@ def _rasterize_kernel(pts_ref, vis_ref, out_ref, *, H, W, sigma):
     dx = x - px
     dy = y - py
     win = 3.0 * sigma
-    g = jnp.exp(-(dx * dx + dy * dy) * (1.0 / (2.0 * sigma * sigma)))
+    # divide exactly as the XLA path does — multiplying by a precomputed
+    # reciprocal differs in the last ulp for sigmas where 2*sigma^2 is not
+    # a power of two, breaking cross-backend bit-parity
+    g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
     g = g * (jnp.abs(dx) <= win) * (jnp.abs(dy) <= win)
 
-    # reference visibility rule on the integer window (see aug.heatmap)
-    s3 = float(int(3 * sigma))
-    inside = (
-        (px - s3 < W) & (py - s3 < H) & (px + s3 + 1 >= 0) & (py + s3 + 1 >= 0)
-    )
+    # reference visibility rule — the shared definition (inputs are
+    # integer-valued by contract, so no trunc needed here)
+    inside = window_inside(px, py, (H, W), sigma)
     keep = ((vis > 0) & inside).astype(jnp.float32)
     out_ref[:, :] = g * keep
 
@@ -92,12 +95,13 @@ def rasterize_gaussians_pallas(pts, visible, res, sigma=1.0, interpret=False):
     )(pts_f, vis_f)
 
     target = out[:BK].reshape(B, K, H, W)
-    # vis output must also apply the window rule (same as the XLA path)
-    ipx = jnp.trunc(jnp.asarray(pts, jnp.float32)[..., 0])
-    ipy = jnp.trunc(jnp.asarray(pts, jnp.float32)[..., 1])
-    s3 = jnp.float32(int(3 * sigma))
-    inside = (
-        (ipx - s3 < W) & (ipy - s3 < H) & (ipx + s3 + 1 >= 0) & (ipy + s3 + 1 >= 0)
+    # vis output must also apply the window rule (same shared definition
+    # as the XLA path)
+    inside = window_inside(
+        jnp.trunc(jnp.asarray(pts, jnp.float32)[..., 0]),
+        jnp.trunc(jnp.asarray(pts, jnp.float32)[..., 1]),
+        (H, W),
+        sigma,
     )
     vis_out = ((jnp.asarray(visible) > 0) & inside).astype(jnp.float32)
     return target, vis_out

@@ -219,6 +219,13 @@ def augment_batch(
         images, t_eff, inp_res, valid_wh=valid_wh, src_index=src_index
     )
 
+    # Known deviation from the reference recipe: jitter runs on the WARPED
+    # crop (scale -> clamp after interpolation) while the reference jitters
+    # then clamps the full image before its host-side crop (clamp before
+    # interpolation).  The two differ only where jittered neighbors exceed
+    # 1.0; replicating exactly would mean jittering the full padded frame
+    # before the warp (more bandwidth for a sub-quantization-level input
+    # distribution shift).  Geometry/target parity is unaffected.
     if jitter_keys is not None:
         inp = color_jitter_ps(inp, jitter_keys)
     elif jitter_key is not None:
@@ -227,7 +234,10 @@ def augment_batch(
 
     # --- targets ---
     t_out = make_transform(center_f, s_aug, out_res, rot)
-    tpts = transform_points(pts_f, t_out, truncate=True)  # 1-indexed ints
+    # one affine application serves both outputs: truncate=True is exactly
+    # trunc(float_map - 1) + 1 (see transform_points)
+    tpts_float = transform_points(pts_f, t_out, truncate=False)
+    tpts = jnp.trunc(tpts_float - 1.0) + 1.0  # 1-indexed ints
     target, target_weight = rasterize_gaussians(
         tpts - 1.0, vis_f, out_res, sigma=sigma
     )
@@ -239,7 +249,7 @@ def augment_batch(
         # un-truncated float heatmap coords: consumers needing CROP-pixel
         # positions (parts-AHO occluder boxes) rescale these exactly —
         # the truncated ints above quantize to inp/out (=4px) steps
-        "tpts_float": transform_points(pts_f, t_out, truncate=False),
+        "tpts_float": tpts_float,
         "center": center_f,
         "scale": s_aug,
     }

@@ -79,6 +79,9 @@ class NativeDecoder:
         self._pool = lib.pool_create(int(n))
 
     def decode_batch(self, paths, centers, pad_hw):
+        if self._pool is None:
+            # a NULL pool handle would segfault inside the C++ call
+            raise RuntimeError("NativeDecoder used after close()")
         ph, pw = pad_hw
         n = len(paths)
         images = np.zeros((n, ph, pw, 3), np.uint8)

@@ -193,9 +193,18 @@ int pool_decode_batch(void* pool_ptr, const char** paths, int n, int pad_h,
   const size_t img_stride = static_cast<size_t>(pad_h) * pad_w * 3;
   for (int i = 0; i < n; ++i) {
     pool->submit([&, i] {
-      bool good = process_one(paths[i], pad_h, pad_w, centers[2 * i],
-                              centers[2 * i + 1], out_images + i * img_stride,
-                              out_wh + 2 * i, out_offset + 2 * i);
+      bool good = false;
+      try {
+        good = process_one(paths[i], pad_h, pad_w, centers[2 * i],
+                           centers[2 * i + 1], out_images + i * img_stride,
+                           out_wh + 2 * i, out_offset + 2 * i);
+      } catch (...) {
+        // e.g. std::bad_alloc from a forged-dimension JPEG header: an
+        // escaping exception in a pool thread would std::terminate the
+        // whole process; report the sample as failed (PIL fallback)
+        out_wh[2 * i] = out_wh[2 * i + 1] = 0;
+        out_offset[2 * i] = out_offset[2 * i + 1] = 0;
+      }
       if (good) ok.fetch_add(1);
       if (done.fetch_add(1) + 1 == n) {
         std::lock_guard<std::mutex> lk(mu);

@@ -20,9 +20,18 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.8 exports shard_map at top level
-    from jax import shard_map as _shard_map
+    from jax import shard_map as _raw_shard_map
+
+    # replication checking was renamed check_rep -> check_vma with the move
+    _CHECK_KW = {"check_vma": False}
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.experimental.shard_map import shard_map as _raw_shard_map
+
+    _CHECK_KW = {"check_rep": False}
+
+
+def _shard_map(f, **kw):
+    return _raw_shard_map(f, **kw, **_CHECK_KW)
 
 DATA_AXIS = "data"
 
@@ -48,7 +57,6 @@ def shard_train_step(train_step, mesh, axis=DATA_AXIS, donate=True):
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=(P(), P()),
-        check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
@@ -63,7 +71,6 @@ def shard_fused_train_step(fused_step, mesh, axis=DATA_AXIS, donate=True):
         mesh=mesh,
         in_specs=(P(), P(None, axis), P()),
         out_specs=(P(), P(), P()),
-        check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
@@ -89,6 +96,5 @@ def shard_eval_step(eval_step, mesh, axis=DATA_AXIS):
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P(axis)),
-        check_vma=False,
     )
     return jax.jit(fn)

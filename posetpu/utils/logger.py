@@ -19,13 +19,22 @@ class Logger:
         if resume and os.path.exists(fpath):
             with open(fpath) as f:
                 header = f.readline().rstrip("\n")
-                self.names = header.split("\t")
+                # empty file (crash before the header flushed): treat as a
+                # fresh log instead of inheriting names=[''] that would
+                # fail every append
+                self.names = header.split("\t") if header else []
                 self.numbers = {n: [] for n in self.names}
                 for line in f:
                     vals = line.rstrip("\n").split("\t")
-                    for n, v in zip(self.names, vals):
-                        self.numbers[n].append(float(v))
-            self.file = open(fpath, "a")
+                    if len(vals) != len(self.names):
+                        continue  # partial last line from a mid-write crash
+                    try:
+                        parsed = [float(v) for v in vals]
+                    except ValueError:
+                        continue
+                    for n, v in zip(self.names, parsed):
+                        self.numbers[n].append(v)
+            self.file = open(fpath, "a" if self.names else "w")
         else:
             os.makedirs(os.path.dirname(fpath) or ".", exist_ok=True)
             self.file = open(fpath, "w")

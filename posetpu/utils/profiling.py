@@ -86,8 +86,13 @@ def measure_duty_cycle(step_fn, state, loader, key, max_steps=30):
         key, sub = jax.random.split(key)
         state, m = step_fn(state, batch, sub)
         n += 1
+    if m is None:
+        raise ValueError(
+            "loader yielded no batches after the two warmup steps — pass a "
+            "restartable loader (not an exhausted one-shot iterator)"
+        )
     float(_metric_scalar(m))  # real sync: the state chain forces every step
-    t_wall = (time.perf_counter() - t0) / max(n, 1)
+    t_wall = (time.perf_counter() - t0) / n
     return min(t_dev / t_wall, 1.0), t_dev, t_wall
 
 
@@ -103,7 +108,15 @@ def measure_duty_cycle_fused(step_fn, state, loader, key, max_dispatches=8):
 
     def endless():
         while True:
-            yield from loader
+            got = False
+            for b in loader:
+                got = True
+                yield b
+            if not got:
+                raise ValueError(
+                    "loader yielded no superbatches — an exhausted one-shot "
+                    "iterator would spin here forever"
+                )
 
     it = endless()
     first = next(it)
