@@ -236,9 +236,16 @@ def _policy_logp(logits, extras):
 
 
 def _entropy(logits):
-    return -jnp.mean(
-        jax.nn.softmax(logits["scale"]) * jax.nn.log_softmax(logits["scale"])
-    )
+    """Mean policy entropy (nats) across ALL heads of the policy — scale,
+    rotation, and occlusion when present.  A single-head reading would be
+    blind to the rot/occ distributions collapsing (the policy-collapse
+    diagnostic this metric exists for)."""
+    ents = []
+    for head in ("scale", "rot", "occ"):
+        if head in logits:
+            p = jax.nn.softmax(logits[head])
+            ents.append(-jnp.mean((p * jax.nn.log_softmax(logits[head])).sum(-1)))
+    return sum(ents) / len(ents)
 
 
 def _normalize_advantage(adv, baseline, axis_name):

@@ -66,9 +66,21 @@ def main(argv=None):
         from posetpu.utils.profiling import trace
 
         tdir = os.path.join(cfg.checkpoint_dir, cfg.name, "trace")
+        # Profile on a throwaway copy of the state: the traced epoch runs
+        # real optimizer updates (and the train step DONATES its state
+        # buffers, so a plain reference would be invalidated); letting the
+        # updates leak into fit() would train epochs+1 epochs with the lr
+        # schedule desynced by one.  The loader's epoch counter is also
+        # rewound so fit() sees the same data order as an unprofiled run.
+        import jax.numpy as jnp
+
+        state_before = jax.tree.map(jnp.copy, exp.state)
+        loader_epoch = exp.loader.epoch
         with trace(tdir):
             key = jax.random.PRNGKey(cfg.seed + 4321)
             exp.train_epoch(0, key)
+        exp.state = state_before
+        exp.loader.epoch = loader_epoch
         print(f"[posetpu] profiler trace written to {tdir}")
     state, best = exp.fit()
     print(f"[posetpu] done; best val acc {best:.4f}")

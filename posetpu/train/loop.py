@@ -7,6 +7,7 @@ around the fused device steps.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import tempfile
 import time
@@ -52,7 +53,12 @@ from posetpu.utils.logger import AverageMeter, Logger
 
 def build_dataset(cfg: ExperimentConfig, split="train"):
     if cfg.synthetic and not cfg.annotations:
-        root = os.path.join(tempfile.gettempdir(), f"posetpu_synth_{cfg.aug.dataset}")
+        # key the cached split by its generation seed — a seed sweep must
+        # not silently reuse another seed's images
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"posetpu_synth_{cfg.aug.dataset}_s{cfg.seed}",
+        )
         json_path = os.path.join(root, "annotations.json")
         if not os.path.exists(json_path):
             make_synthetic_dataset(
@@ -71,16 +77,29 @@ def build_dataset(cfg: ExperimentConfig, split="train"):
 class Experiment:
     """Holds everything needed to run/resume one config."""
 
-    def __init__(self, cfg: ExperimentConfig):
+    def __init__(self, cfg: ExperimentConfig, eval_only=False):
+        """``eval_only``: construct for offline evaluation/visualization —
+        never mutate the run directory's artifacts (log.txt opens in
+        resume mode, config.json is not rewritten)."""
         self.cfg = cfg
+        self.eval_only = eval_only
         self.train_ds = build_dataset(cfg, "train")
         self.val_ds = build_dataset(cfg, "valid")
         self.mean, self.std = self.train_ds.mean_std()
         self.std = None  # reference normalizes by mean subtraction only
 
         self._check_pad_hw()
-        n_dev = cfg.num_devices or jax.local_device_count()
-        n_dev = min(n_dev, jax.local_device_count())
+        avail = jax.local_device_count()
+        n_dev = cfg.num_devices or avail
+        if n_dev > avail:
+            # failing fast beats silently running a DP config single-chip
+            # (wrong experiment, probable OOM); override with
+            # --num-devices to run a smaller slice deliberately
+            raise RuntimeError(
+                f"config requests num_devices={n_dev} but only {avail} "
+                f"device(s) are visible — pass --num-devices {avail} to "
+                "run on this host deliberately"
+            )
         self.dp = n_dev > 1
         self.axis = "data" if self.dp else None
         self.mesh = make_mesh(n_dev) if self.dp else None
@@ -214,8 +233,13 @@ class Experiment:
             avars = self.agent_model.init(
                 jax.random.PRNGKey(cfg.seed + 1), x, train=True
             )
+            # the agent follows the experiment's optimizer settings
+            # (schedule/gamma/rms) with only the lr swapped — building a
+            # default OptimConfig here silently gave the agent the default
+            # (60, 90) schedule regardless of --schedule
             self.agent_tx = make_optimizer(
-                type(cfg.optim)(lr=cfg.agent.lr), self.steps_per_epoch
+                dataclasses.replace(cfg.optim, lr=cfg.agent.lr),
+                self.steps_per_epoch,
             )
             agent_state = TrainState(
                 params=avars["params"],
@@ -305,11 +329,12 @@ class Experiment:
         )
         self.logger = Logger(
             os.path.join(cfg.checkpoint_dir, cfg.name, "log.txt"),
-            resume=bool(cfg.resume),
+            resume=bool(cfg.resume) or eval_only,
         )
         self.logger.set_names(Logger.DEFAULT_NAMES)
-        # reproducibility: the exact resolved config next to the log
-        self._dump_config()
+        if not eval_only:
+            # reproducibility: the exact resolved config next to the log
+            self._dump_config()
         self.tb = None
         if cfg.tensorboard:  # structured metrics (SURVEY.md §1 L7 mapping)
             from clu import metric_writers
@@ -507,6 +532,7 @@ class Experiment:
     def validate(self, epoch):
         meters = {}
         all_preds = []
+        hit_sum = cnt_sum = None
         for batch in self.val_loader:
             # Every batch is padded to ONE static (mesh-divisible) shape:
             # the ragged final batch runs under DP (SURVEY.md §3.3) and the
@@ -515,10 +541,23 @@ class Experiment:
             n = batch["image"].shape[0]
             batch = pad_batch(batch, self.cfg.batch_size)
             metrics, preds = self.eval_step(self.state, batch)
+            # PCK is a ratio of GLOBAL per-joint counts over the split —
+            # averaging per-batch ratios diverges when per-joint valid
+            # counts vary across batches (same rule as the DP reduction)
+            hit = np.asarray(metrics["pck_hit"], np.float64)
+            cnt = np.asarray(metrics["pck_cnt"], np.float64)
+            hit_sum = hit if hit_sum is None else hit_sum + hit
+            cnt_sum = cnt if cnt_sum is None else cnt_sum + cnt
             for k, v in metrics.items():
+                if k in ("pck_hit", "pck_cnt"):
+                    continue
                 meters.setdefault(k, AverageMeter()).update(float(v), n=n)
             all_preds.append(np.asarray(preds)[:n])
         out = {k: m.avg for k, m in meters.items()}
+        if cnt_sum is not None:
+            from posetpu.eval.decode import pck_from_counts
+
+            out["acc"] = float(pck_from_counts(hit_sum, cnt_sum)[0])
         preds = np.concatenate(all_preds) if all_preds else np.zeros((0, 0, 2))
         return out, preds
 

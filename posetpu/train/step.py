@@ -206,6 +206,15 @@ def make_eval_step(model, aug_cfg, mean, std=None, axis_name=None):
             n = jax.lax.psum(n, axis_name)
         loss = loss_sum / jnp.maximum(n, 1.0)
         acc = pck_from_counts(hit, cnt)[0]
+        metrics = {
+            "loss": loss,
+            "acc": acc,
+            # per-joint global counts: the epoch driver sums these across
+            # batches and ratios ONCE (mean of per-batch ratios is not the
+            # split PCK when per-joint valid counts vary across batches)
+            "pck_hit": hit,
+            "pck_cnt": cnt,
+        }
         preds = final_preds(
             scores, aug["center"], aug["scale"], tuple(aug_cfg.out_res)
         )
@@ -216,6 +225,6 @@ def make_eval_step(model, aug_cfg, mean, std=None, axis_name=None):
         off = batch.get("offset")
         if off is not None:
             preds = preds + off[:, None, :].astype(preds.dtype)
-        return {"loss": loss, "acc": acc}, preds
+        return metrics, preds
 
     return eval_step

@@ -75,11 +75,10 @@ def run_arm(cfg, progress, skip=False):
     if skip:
         # arm already trained in this out dir (phase1/armA are seed-
         # deterministic — verified identical across three runs); reload
-        # its best checkpoint instead of re-training.  resume mode keeps
-        # Experiment's Logger in append mode — without it the constructor
-        # would TRUNCATE the reused arm's log.txt (the study's curves)
-        cfg.resume = "auto"
-        exp = Experiment(cfg)
+        # its best checkpoint instead of re-training.  eval_only keeps the
+        # constructor from touching the arm's artifacts (log.txt stays
+        # append-mode, config.json is not rewritten)
+        exp = Experiment(cfg, eval_only=True)
         exp.state, _, best = exp.ckpt.restore(exp.state, exp.ckpt.best_path)
         return exp, float(best)
     exp = Experiment(cfg)

@@ -77,10 +77,9 @@ def main():
         opt_state=tx.init(v["params"]),
         step=jnp.zeros((), jnp.int32),
     )
-    step = jax.jit(make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43)))
-
     key = jax.random.PRNGKey(0)
     raw_step = make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43))
+    step = jax.jit(raw_step)  # per-dispatch mode; fused mode jits its scan
     if args.k_per_dispatch > 1:
         def run():
             return measure_duty_cycle_fused(

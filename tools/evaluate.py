@@ -72,7 +72,7 @@ def main(argv=None):
     cfg = apply_overrides(cfg, args)
     cfg.resume = ""  # restore manually below
 
-    exp = Experiment(cfg)
+    exp = Experiment(cfg, eval_only=True)
     path = exp.ckpt.best_path if args.best else None
     exp.state, epoch, best = exp.ckpt.restore(exp.state, path)
     print(f"[eval] restored epoch {epoch} (best_acc {best:.4f})")

@@ -63,7 +63,7 @@ def main(argv=None):
     cfg = named_config(args.config)
     cfg = apply_overrides(cfg, args)
     cfg.resume = ""
-    exp = Experiment(cfg)
+    exp = Experiment(cfg, eval_only=True)
     exp.state, epoch, _ = exp.ckpt.restore(
         exp.state, exp.ckpt.best_path if args.best else None
     )
