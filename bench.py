@@ -39,14 +39,73 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_GPU_IMG_PER_SEC = 12.0  # literature anchor, see BASELINE.md
 
 
-def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
-              trials=3, scan_stacks=False):
+def _synthetic_batch(batch, res, classes=16, seed=0):
+    """Synthetic host batch at the padded shape the loader would produce."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    pad = res + res // 4
+    return {
+        "image": (rng.rand(batch, pad, pad, 3) * 255).astype(np.uint8),
+        "valid_wh": np.tile(np.array([[pad, pad]], np.int32), (batch, 1)),
+        "center": np.tile(
+            np.array([[pad / 2 + 0.3, pad / 2 + 0.2]], np.float32), (batch, 1)
+        ),
+        "scale": np.full((batch,), pad / 250.0, np.float32),
+        "pts": (
+            rng.rand(batch, classes, 2) * pad * 0.6 + pad * 0.2
+        ).astype(np.float32),
+        "vis": np.ones((batch, classes), np.float32),
+        "index": np.arange(batch, dtype=np.int32),
+    }
+
+
+def _fused_k_rates(step, state, batch_dev, batch, K, warmup, trials,
+                   compile_label=None):
+    """The round-2 honest methodology in ONE place (baseline and joint
+    benches share it): K steps fused into a single donated lax.scan
+    dispatch, synchronized only by the final device->host loss fetch
+    (block_until_ready lies on this tunnel).  Returns the median rate of
+    ``trials`` timed dispatches; with ``compile_label`` the first-call
+    (compile+run) wall time is logged to stderr."""
     import statistics
     from functools import partial
 
     import jax
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_k(state, b, key):
+        def body(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, m = step(st, b, sub)
+            return (st, k), m["loss"]
+
+        (state, _), losses = jax.lax.scan(body, (state, key), None, length=K)
+        return state, losses[-1]
+
+    for w in range(max(warmup, 1)):  # compile + warm; value fetch = sync
+        t0 = time.perf_counter()
+        state, loss = run_k(state, batch_dev, jax.random.PRNGKey(w))
+        float(loss)
+        if w == 0 and compile_label:
+            sys.stderr.write(
+                f"[{compile_label}] first call (compile+{K} steps): "
+                f"{time.perf_counter() - t0:.1f}s\n"
+            )
+    rates = []
+    for t in range(trials):
+        t0 = time.perf_counter()
+        state, loss = run_k(state, batch_dev, jax.random.PRNGKey(100 + t))
+        float(loss)  # device->host fetch: the only real sync on this tunnel
+        rates.append(batch * K / (time.perf_counter() - t0))
+    return statistics.median(rates)
+
+
+def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
+              trials=3, scan_stacks=False):
+    import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from posetpu.configs import named_config
     from posetpu.models import hg
@@ -70,45 +129,8 @@ def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
         step=jnp.zeros((), jnp.int32),
     )
     step = make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43))
-    K = steps
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def run_k(state, batch, key):
-        def body(carry, _):
-            st, k = carry
-            k, sub = jax.random.split(k)
-            st, m = step(st, batch, sub)
-            return (st, k), m["loss"]
-
-        (state, _), losses = jax.lax.scan(body, (state, key), None, length=K)
-        return state, losses[-1]
-
-    # Synthetic host batch at the padded shape the loader would produce.
-    rng = np.random.RandomState(0)
-    pad = res + res // 4
-    batch_data = {
-        "image": (rng.rand(batch, pad, pad, 3) * 255).astype(np.uint8),
-        "valid_wh": np.tile(np.array([[pad, pad]], np.int32), (batch, 1)),
-        "center": np.tile(
-            np.array([[pad / 2 + 0.3, pad / 2 + 0.2]], np.float32), (batch, 1)
-        ),
-        "scale": np.full((batch,), pad / 250.0, np.float32),
-        "pts": (rng.rand(batch, 16, 2) * pad * 0.6 + pad * 0.2).astype(np.float32),
-        "vis": np.ones((batch, 16), np.float32),
-        "index": np.arange(batch, dtype=np.int32),
-    }
-    batch_dev = jax.device_put(batch_data)
-
-    for w in range(warmup):  # compile + warm; value fetch = real sync
-        state, loss = run_k(state, batch_dev, jax.random.PRNGKey(w))
-        float(loss)
-    rates = []
-    for t in range(trials):
-        t0 = time.perf_counter()
-        state, loss = run_k(state, batch_dev, jax.random.PRNGKey(100 + t))
-        float(loss)  # device->host fetch: the only real sync on this tunnel
-        rates.append(batch * K / (time.perf_counter() - t0))
-    return statistics.median(rates)
+    batch_dev = jax.device_put(_synthetic_batch(batch, res))
+    return _fused_k_rates(step, state, batch_dev, batch, steps, warmup, trials)
 
 
 def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
@@ -214,62 +236,21 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
             model, agent, tx, atx, cfg.aug, (0.44, 0.44, 0.43), **step_kw
         )
 
-    rng = np.random.RandomState(0)
-    pad = res + res // 4
-    batch_data = {
-        "image": (rng.rand(batch, pad, pad, 3) * 255).astype(np.uint8),
-        "valid_wh": np.tile(np.array([[pad, pad]], np.int32), (batch, 1)),
-        "center": np.tile(
-            np.array([[pad / 2 + 0.3, pad / 2 + 0.2]], np.float32), (batch, 1)
-        ),
-        "scale": np.full((batch,), pad / 250.0, np.float32),
-        "pts": (
-            rng.rand(batch, classes, 2) * pad * 0.6 + pad * 0.2
-        ).astype(np.float32),
-        "vis": np.ones((batch, classes), np.float32),
-        "index": np.arange(batch, dtype=np.int32),
-    }
-    batch_dev = jax.device_put(batch_data)
+    batch_dev = jax.device_put(_synthetic_batch(batch, res, classes=classes))
 
     if fused:
-        import statistics
-        from functools import partial
-
-        K = steps
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def run_k(state, b, key):
-            def body(carry, _):
-                st, k = carry
-                k, sub = jax.random.split(k)
-                st, m = step(st, b, sub)
-                return (st, k), m["loss"]
-
-            (state, _), losses = jax.lax.scan(
-                body, (state, key), None, length=K
-            )
-            return state, losses[-1]
-
-        t0 = time.perf_counter()
-        state, loss = run_k(state, batch_dev, jax.random.PRNGKey(0))
-        float(loss)
-        sys.stderr.write(
-            f"[bench --joint --fused] first call (compile+{K} steps): "
-            f"{time.perf_counter() - t0:.1f}s\n"
+        return _fused_k_rates(
+            step, state, batch_dev, batch, steps, warmup=1, trials=3,
+            compile_label="bench --joint --fused",
         )
-        rates = []
-        for t in range(3):
-            t0 = time.perf_counter()
-            state, loss = run_k(state, batch_dev, jax.random.PRNGKey(100 + t))
-            float(loss)  # device->host fetch: the only real sync here
-            rates.append(batch * K / (time.perf_counter() - t0))
-        return statistics.median(rates)
 
     key = jax.random.PRNGKey(0)
+    m = None
     for _ in range(warmup):
         key, sub = jax.random.split(key)
         state, m = step(state, batch_dev, sub)
-    float(m["loss"])  # real sync (block_until_ready lies on this tunnel)
+    if m is not None:
+        float(m["loss"])  # real sync (block_until_ready lies on this tunnel)
     t0 = time.perf_counter()
     for _ in range(steps):
         key, sub = jax.random.split(key)
@@ -355,9 +336,13 @@ def run_bench_loader(
 
     root = os.path.join(tempfile.gettempdir(), "posetpu_bench_synth")
     ann = os.path.join(root, "annotations.json")
-    # dataset must cover one full epoch of whole groups (a ragged final
-    # group would recompile the scan at a second length)
-    need = max(group * batch, 4 * batch, 64)
+    # dataset must cover one full epoch of WHOLE groups: a ragged final
+    # group would recompile the scan at a second length inside the timed
+    # region AND break the images-per-dispatch accounting (every dispatch
+    # below is credited with `group` steps)
+    n_batches = max(4, -(-64 // batch), group)
+    n_batches = -(-n_batches // group) * group  # round up to whole groups
+    need = n_batches * batch
     if os.path.exists(ann):
         from posetpu.data import schema
 
@@ -408,9 +393,11 @@ def run_bench_loader(
             donate_argnums=(0,),
         )
         n_dispatch = -(-steps // group)
+        m = None
         for _ in range(warmup):
             state, key, m = step(state, next(it), key)
-        float(m["loss"][-1])  # real sync (block_until_ready lies here)
+        if m is not None:
+            float(m["loss"][-1])  # real sync (block_until_ready lies here)
         t0 = time.perf_counter()
         for _ in range(n_dispatch):
             state, key, m = step(state, next(it), key)
@@ -420,10 +407,12 @@ def run_bench_loader(
         make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43)),
         donate_argnums=(0,),
     )
+    m = None
     for _ in range(warmup):
         key, sub = jax.random.split(key)
         state, m = step(state, next(it), sub)
-    float(m["loss"])  # real sync (block_until_ready lies on this tunnel)
+    if m is not None:
+        float(m["loss"])  # real sync (block_until_ready lies on this tunnel)
     t0 = time.perf_counter()
     for _ in range(steps):
         key, sub = jax.random.split(key)
@@ -521,8 +510,10 @@ def main():
             if args.steps is None:
                 kw["steps"] = 10  # K per scan dispatch, like run_bench
         kw["config"] = args.config
-        if args.res is None:
+        if args.res is None and not args.quick:
             kw["res"] = None  # keep the named config's own resolution
+            # (--quick keeps its res=64 preset — resetting it here made
+            # the CPU-safe smoke run the config's full 256²/384² warps)
         ips = run_bench_joint(**kw)
         tag = "" if args.config == "hg8_mpii_asr" else f", {args.config}"
         metric = (

@@ -81,7 +81,9 @@ def pck_counts(output, target, thr=0.5, sample_mask=None):
     B, K, H, W = output.shape
     preds = get_preds(output)
     gts = get_preds(target)
-    norm = jnp.full((B,), H / 10.0)
+    # reference accuracy() normalizes by heatmap WIDTH (output.size(3) on
+    # NCHW), matching the oracle — identical on square maps
+    norm = jnp.full((B,), W / 10.0)
     dists = calc_dists(preds, gts, norm)  # (K, B)
     valid = dists != -1.0
     if sample_mask is not None:

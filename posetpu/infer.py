@@ -124,17 +124,14 @@ class PosePredictor:
             # pruned) rather than failing on the parent directory
             path = os.path.join(checkpoint, "best")
         elif has_ckpt:
-            # skip in-flight/stale "*.orbax-checkpoint-tmp-*" dirs — they
-            # sort AFTER the finished epoch they belong to (same filter as
-            # CheckpointManager._finished)
-            epochs = sorted(
-                n
-                for n in os.listdir(os.path.join(checkpoint, "ckpt"))
-                if "orbax-checkpoint-tmp" not in n
-            )
-            if not epochs:
+            # the training-side manager owns the finished-checkpoint
+            # policy (tmp-dir filter + latest pick) — reuse it rather than
+            # re-implementing the selection here
+            from posetpu.ckpt import CheckpointManager
+
+            path = CheckpointManager(checkpoint).latest_path()
+            if path is None:
                 raise FileNotFoundError(f"no checkpoint under {checkpoint}")
-            path = os.path.join(checkpoint, "ckpt", epochs[-1])
         params, batch_stats, _, _ = load_checkpoint_params(path)
         return cls(
             model,

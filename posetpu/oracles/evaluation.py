@@ -65,7 +65,9 @@ def accuracy(output, target, thr=0.5):
     N, K, H, W = output.shape
     preds = get_preds(output)
     gts = get_preds(target)
-    norm = np.ones(N, dtype=np.float64) * H / 10.0
+    # reference normalizes by output.size(3) = WIDTH (NCHW), not height;
+    # identical on the square maps but a real deviation off-square
+    norm = np.ones(N, dtype=np.float64) * W / 10.0
     dists = calc_dists(preds, gts, norm)
     acc = np.zeros(K + 1, dtype=np.float64)
     avg_acc, cnt = 0.0, 0
