@@ -140,6 +140,39 @@ class TestLogger:
         with open(p) as f:
             assert len(f.read().strip().split("\n")) == 4
 
+    def test_resume_from_empty_file(self, tmp_path):
+        """A crash before the header flushed leaves an empty log; resume
+        must treat it as fresh (names=[''] would fail every append)."""
+        from posetpu.utils import Logger
+
+        p = os.path.join(tmp_path, "log.txt")
+        open(p, "w").close()
+        lg = Logger(p, resume=True)
+        lg.set_names(Logger.DEFAULT_NAMES)
+        lg.append([0, 2.5e-4, 1.0, 1.1, 0.2, 0.19])
+        lg.close()
+        with open(p) as f:
+            lines = f.read().strip().split("\n")
+        assert lines[0].split("\t") == list(Logger.DEFAULT_NAMES)
+        assert len(lines) == 2
+
+    def test_resume_skips_partial_last_line(self, tmp_path):
+        """A crash mid-append leaves a truncated row; resume skips it
+        instead of raising float('')."""
+        from posetpu.utils import Logger
+
+        p = os.path.join(tmp_path, "log.txt")
+        lg = Logger(p)
+        lg.set_names(Logger.DEFAULT_NAMES)
+        lg.append([0, 2.5e-4, 1.0, 1.1, 0.2, 0.19])
+        lg.close()
+        with open(p, "a") as f:
+            f.write("1\t0.00025\t")  # torn write
+        lg2 = Logger(p, resume=True)
+        lg2.set_names(Logger.DEFAULT_NAMES)
+        assert lg2.numbers["Train Loss"] == [1.0]
+        lg2.close()
+
     def test_plot(self, tmp_path):
         from posetpu.utils import Logger
 

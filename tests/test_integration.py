@@ -221,6 +221,62 @@ class TestNamedConfigs:
         assert hasattr(state, "agent")
 
 
+class TestExperimentGuards:
+    def test_num_devices_over_available_raises(self, synth, tmp_path):
+        """A config demanding more devices than visible fails fast with an
+        actionable message instead of silently running single-chip."""
+        from posetpu.train.loop import Experiment
+
+        cfg = named_config("hg2_mpii_mini")
+        cfg.model.stacks = 1
+        cfg.model.feats = 8
+        cfg.batch_size = 32
+        cfg.num_devices = 99
+        cfg.synthetic = False
+        cfg.annotations = synth.samples[0].img_path.rsplit("/images", 1)[0] + "/annotations.json"
+        cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+        cfg.checkpoint_dir = str(tmp_path)
+        with pytest.raises(RuntimeError, match="num_devices=99"):
+            Experiment(cfg)
+
+    def test_agent_optimizer_follows_experiment_schedule(
+        self, synth, tmp_path, monkeypatch
+    ):
+        """The agent's optimizer copies the experiment's OptimConfig with
+        only lr swapped (it was silently built from defaults, so --schedule
+        moved the pose lr while the agent kept (60, 90))."""
+        import posetpu.train.loop as loop_mod
+        from posetpu.train.loop import Experiment
+        from posetpu.train.state import make_optimizer
+
+        calls = []
+
+        def spy(optim_cfg, steps_per_epoch=1):
+            calls.append(optim_cfg)
+            return make_optimizer(optim_cfg, steps_per_epoch)
+
+        monkeypatch.setattr(loop_mod, "make_optimizer", spy)
+        cfg = named_config("hg2_mpii_mini")
+        cfg.model.stacks = 1
+        cfg.model.feats = 8
+        cfg.aug.inp_res = (64, 64)
+        cfg.aug.out_res = (16, 16)
+        cfg.agent.enabled = True
+        cfg.agent.lr = 1e-3
+        cfg.batch_size = 4
+        cfg.num_devices = 1
+        cfg.optim.schedule = (7, 11)
+        cfg.synthetic = False
+        cfg.annotations = synth.samples[0].img_path.rsplit("/images", 1)[0] + "/annotations.json"
+        cfg.images_dir = os.path.dirname(synth.samples[0].img_path)
+        cfg.pad_hw = (256, 384)
+        cfg.checkpoint_dir = str(tmp_path)
+        Experiment(cfg)
+        agent_cfgs = [c for c in calls if c.lr == 1e-3]
+        assert agent_cfgs, "agent optimizer not built via make_optimizer"
+        assert tuple(agent_cfgs[0].schedule) == (7, 11)
+
+
 class TestObservability:
     @pytest.mark.slow
     def test_tensorboard_and_config_dump(self, synth, tmp_path):

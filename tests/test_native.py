@@ -53,6 +53,14 @@ class TestNativeDecoder:
             assert diff <= 2.5, diff
         dec.close()
 
+    def test_use_after_close_raises(self, ds):
+        dec = native.NativeDecoder(num_threads=1)
+        dec.close()
+        with pytest.raises(RuntimeError, match="after close"):
+            dec.decode_batch(
+                [ds.image_path(0)], np.zeros((1, 2), np.float32), (64, 64)
+            )
+
     def test_oversize_crop_offsets(self, ds):
         dec = native.NativeDecoder(num_threads=2)
         paths = [ds.image_path(0)]
