@@ -134,7 +134,7 @@ def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
 
 
 def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
-                    res=None, fused=False, config="hg8_mpii_asr"):
+                    res=None, fused=False, config="hg8_mpii_asr", trials=3):
     """Full adversarial (ASR) minimax step throughput — the flagship
     feature.
 
@@ -239,9 +239,11 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
     batch_dev = jax.device_put(_synthetic_batch(batch, res, classes=classes))
 
     if fused:
+        # caller's warmup/trials are honored (ADVICE r3: they used to be
+        # hardcoded 1/3 here while the split branch honored warmup)
         return _fused_k_rates(
-            step, state, batch_dev, batch, steps, warmup=1, trials=3,
-            compile_label="bench --joint --fused",
+            step, state, batch_dev, batch, steps, warmup=warmup,
+            trials=trials, compile_label="bench --joint --fused",
         )
 
     key = jax.random.PRNGKey(0)
@@ -422,12 +424,50 @@ def run_bench_loader(
     return batch * steps / (time.perf_counter() - t0)
 
 
+def _fail_fast(reason, ap_args=None):
+    """Print the driver-parseable structured error line and exit nonzero.
+
+    An unreachable backend must become a <3-minute diagnostic, never a
+    silent hang that eats the driver's whole capture window (BENCH_r03
+    rc=124 was exactly that)."""
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip",
+                "value": None,
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "error": "tpu_unavailable",
+                "detail": reason,
+            }
+        )
+    )
+    sys.exit(3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny model, CPU-safe")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--stacks", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument(
+        "--warmup", type=int, default=None,
+        help="whole-program warm calls before timing (every mode)",
+    )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (via jax.config.update — the "
+        "JAX_PLATFORMS env var is pinned by this machine's sitecustomize "
+        "and silently ignored)",
+    )
+    ap.add_argument(
+        "--no-probe", action="store_true",
+        help="skip the startup backend-liveness probe (it runs a trivial "
+        "jit in a subprocess under --probe-deadline so a wedged device "
+        "tunnel fails fast with a structured error instead of hanging)",
+    )
+    ap.add_argument("--probe-deadline", type=float, default=120.0)
     ap.add_argument("--res", type=int, default=None, help="input resolution (384 for config 5)")
     ap.add_argument(
         "--loader", choices=["host", "grain"], default=None,
@@ -476,6 +516,19 @@ def main():
     )
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["POSETPU_PROBE_PLATFORM"] = "cpu"  # probe subprocess too
+
+    if not args.no_probe and os.environ.get("POSETPU_SKIP_PROBE") != "1":
+        from posetpu.utils.probe import probe_backend
+
+        ok, detail = probe_backend(deadline=args.probe_deadline)
+        if not ok:
+            _fail_fast(detail)
+
     per_dispatch = bool(args.loader or args.joint or args.serve)
     if args.quick:
         kw = dict(batch=4, stacks=1, feats=16, steps=5, warmup=2, res=64)
@@ -493,6 +546,8 @@ def main():
         kw["steps"] = args.steps
     if args.res:
         kw["res"] = args.res
+    if args.warmup is not None:
+        kw["warmup"] = args.warmup
 
     if args.loader:
         kw["backend"] = args.loader
@@ -509,6 +564,10 @@ def main():
             kw["fused"] = True
             if args.steps is None:
                 kw["steps"] = 10  # K per scan dispatch, like run_bench
+            if args.warmup is None:
+                kw["warmup"] = 1  # default stays one K-step warm dispatch
+            if args.trials:
+                kw["trials"] = args.trials
         kw["config"] = args.config
         if args.res is None and not args.quick:
             kw["res"] = None  # keep the named config's own resolution
@@ -537,7 +596,15 @@ def main():
             kw["scan_stacks"] = True
         try:
             ips = run_bench(**kw)
-        except Exception as e:  # OOM fallback: halve the batch once
+        except Exception as e:
+            # Retry with a smaller batch ONLY on device-OOM class errors.
+            # Anything else (notably backend-init UNAVAILABLE on a dead
+            # tunnel) re-raises: retrying those hangs again and turned
+            # round 3's outage into a silent driver timeout (rc=124).
+            from posetpu.utils.probe import is_oom_error
+
+            if not is_oom_error(e):
+                raise
             sys.stderr.write(f"[bench] retry with smaller batch after: {e}\n")
             kw["batch"] = max(2, kw["batch"] // 2)
             ips = run_bench(**kw)

@@ -4,6 +4,7 @@ from posetpu.aug.affine import (
     make_transform,
     invert_affine,
     transform_points,
+    transform_points_int_float,
     mirror_x,
 )
 from posetpu.aug.warp import affine_warp
@@ -23,6 +24,7 @@ __all__ = [
     "make_transform",
     "invert_affine",
     "transform_points",
+    "transform_points_int_float",
     "mirror_x",
     "affine_warp",
     "rasterize_gaussians",

@@ -111,6 +111,17 @@ def invert_affine(t):
     )
 
 
+def _apply_affine_0idx(pts, t):
+    """Raw 0-indexed affine application: (B, K, 2) pts through (B, 3, 3)."""
+    pts = jnp.asarray(pts, jnp.float32)
+    x = pts[..., 0] - 1.0  # (B, K)
+    y = pts[..., 1] - 1.0
+    # Explicit muls, not einsum: keeps the map exact f32 (see make_transform).
+    ox = t[:, 0, 0, None] * x + t[:, 0, 1, None] * y + t[:, 0, 2, None]
+    oy = t[:, 1, 0, None] * x + t[:, 1, 1, None] * y + t[:, 1, 2, None]
+    return jnp.stack([ox, oy], axis=-1)
+
+
 def transform_points(pts, t, truncate=True):
     """Map 1-indexed points (B, K, 2) through per-sample affines (B, 3, 3).
 
@@ -118,16 +129,24 @@ def transform_points(pts, t, truncate=True):
     (`new_pt.astype(int) + 1`, truncation toward zero) — required for
     heatmap-target parity.  Returns float32 (B, K, 2).
     """
-    pts = jnp.asarray(pts, jnp.float32)
-    x = pts[..., 0] - 1.0  # (B, K)
-    y = pts[..., 1] - 1.0
-    # Explicit muls, not einsum: keeps the map exact f32 (see make_transform).
-    ox = t[:, 0, 0, None] * x + t[:, 0, 1, None] * y + t[:, 0, 2, None]
-    oy = t[:, 1, 0, None] * x + t[:, 1, 1, None] * y + t[:, 1, 2, None]
-    out = jnp.stack([ox, oy], axis=-1)
+    out = _apply_affine_0idx(pts, t)
     if truncate:
         out = jnp.trunc(out)
     return out + 1.0
+
+
+def transform_points_int_float(pts, t):
+    """One affine application, both views: ``(trunc(out)+1, out+1)``.
+
+    The truncated ints MUST come from the raw 0-indexed map ``out``: in
+    float32 ``trunc((out+1)-1) != trunc(out)`` for coords 1–2 ulp below an
+    integer (e.g. out=0.99999994f: +1 rounds to 2.0 exactly, so the
+    round-trip truncates to 1 instead of 0), which would shift a rasterized
+    Gaussian peak by one pixel on rare real samples.  Returns a pair of
+    float32 (B, K, 2) arrays: (1-indexed truncated ints, 1-indexed floats).
+    """
+    out = _apply_affine_0idx(pts, t)
+    return jnp.trunc(out) + 1.0, out + 1.0
 
 
 def mirror_x(x_coord, width):

@@ -18,7 +18,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from posetpu.aug.affine import compose_affine, make_transform, transform_points
+from posetpu.aug.affine import (
+    compose_affine,
+    make_transform,
+    transform_points_int_float,
+)
 from posetpu.aug.color import color_jitter, color_jitter_ps, color_normalize
 from posetpu.aug.heatmap import rasterize_gaussians
 from posetpu.aug.warp import affine_warp
@@ -234,10 +238,10 @@ def augment_batch(
 
     # --- targets ---
     t_out = make_transform(center_f, s_aug, out_res, rot)
-    # one affine application serves both outputs: truncate=True is exactly
-    # trunc(float_map - 1) + 1 (see transform_points)
-    tpts_float = transform_points(pts_f, t_out, truncate=False)
-    tpts = jnp.trunc(tpts_float - 1.0) + 1.0  # 1-indexed ints
+    # one affine application serves both outputs; the ints are truncated
+    # from the raw 0-indexed map (NOT trunc(tpts_float - 1), which differs
+    # 1-2 ulp below integers — see transform_points_int_float)
+    tpts, tpts_float = transform_points_int_float(pts_f, t_out)
     target, target_weight = rasterize_gaussians(
         tpts - 1.0, vis_f, out_res, sigma=sigma
     )

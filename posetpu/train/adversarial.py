@@ -235,16 +235,27 @@ def _policy_logp(logits, extras):
     return logp
 
 
+def _head_entropy(head_logits):
+    """Mean categorical entropy (nats) of one (B, N) logits head."""
+    p = jax.nn.softmax(head_logits)
+    return -jnp.mean((p * jax.nn.log_softmax(head_logits)).sum(-1))
+
+
 def _entropy(logits):
     """Mean policy entropy (nats) across ALL heads of the policy — scale,
     rotation, and occlusion when present.  A single-head reading would be
     blind to the rot/occ distributions collapsing (the policy-collapse
-    diagnostic this metric exists for)."""
+    diagnostic this metric exists for).  Tree/parts AHO agents emit
+    ``occ_level`` + per-level ``occ_cells`` instead of a flat ``occ`` head
+    (models/agent.py head_occ_level/head_occ_cell*); those enter as one
+    entropy term each, so a collapsed occlusion policy drives the metric
+    down in EVERY occ_mode (round-3 verdict: tree/parts were invisible)."""
     ents = []
-    for head in ("scale", "rot", "occ"):
+    for head in ("scale", "rot", "occ", "occ_level"):
         if head in logits:
-            p = jax.nn.softmax(logits[head])
-            ents.append(-jnp.mean((p * jax.nn.log_softmax(logits[head])).sum(-1)))
+            ents.append(_head_entropy(logits[head]))
+    for cell in logits.get("occ_cells", ()):
+        ents.append(_head_entropy(cell))
     return sum(ents) / len(ents)
 
 

@@ -13,6 +13,7 @@ Flag names (`--stacks --blocks --sigma --scale-factor --rot-factor --lr
 from __future__ import annotations
 
 import argparse
+import os
 
 from posetpu.configs import NAMED_CONFIGS, add_overrides, apply_overrides, named_config
 
@@ -39,6 +40,14 @@ def build_parser():
         "into <checkpoint>/<name>/trace (view with tools/profile_step.py "
         "--parse-only)",
     )
+    p.add_argument(
+        "--no-probe",
+        action="store_true",
+        help="skip the startup backend-liveness probe (a subprocess jit "
+        "under a hard deadline; on a wedged device tunnel it exits with a "
+        "clear diagnostic instead of hanging for many minutes)",
+    )
+    p.add_argument("--probe-deadline", type=float, default=120.0)
     add_overrides(p)
     return p
 
@@ -52,6 +61,20 @@ def main(argv=None):
         if args.cpu_devices:
             jax.config.update("jax_num_cpu_devices", args.cpu_devices)
 
+    # Probe BEFORE the first real backend touch (jax.devices() below would
+    # hang for many minutes on a wedged tunnel — SURVEY.md §5.3).  CPU
+    # backends are in-process and can't be unreachable, so skip there.
+    if not (args.no_probe or args.cpu or args.cpu_devices
+            or os.environ.get("POSETPU_SKIP_PROBE") == "1"):
+        from posetpu.utils.probe import probe_backend
+
+        ok, detail = probe_backend(deadline=args.probe_deadline)
+        if not ok:
+            print(f"[posetpu] FATAL: device unreachable: {detail}\n"
+                  "[posetpu] (retry later, use --cpu, or --no-probe to "
+                  "bypass this check)")
+            return 2
+
     cfg = named_config(args.config)
     cfg = apply_overrides(cfg, args)
 
@@ -61,8 +84,6 @@ def main(argv=None):
           f"({jax.devices()[0].platform})")
     exp = Experiment(cfg)
     if args.profile:
-        import os
-
         from posetpu.utils.profiling import trace
 
         tdir = os.path.join(cfg.checkpoint_dir, cfg.name, "trace")

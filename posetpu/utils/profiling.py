@@ -129,11 +129,30 @@ def measure_duty_cycle_fused(step_fn, state, loader, key, max_dispatches=8):
     float(_metric_scalar(m)[-1])
 
     n = 0
+    steps = 0
+    skipped = 0
     t0 = time.perf_counter()
     m = None
     while n < max_dispatches:
-        state, key, m = fused(state, next(it), key)
+        b = next(it)
+        bk = jax.tree.leaves(b)[0].shape[0]
+        if bk != k:
+            skipped += 1
+            if skipped > 8 * max_dispatches:
+                raise ValueError(
+                    f"loader keeps yielding ragged superbatches (leading dim "
+                    f"!= {k}); configure group=K with a dataset sized to "
+                    "whole K*B groups"
+                )
+            # Ragged final group (dataset not a multiple of K*B): a second
+            # scan length would recompile INSIDE the timed region and run
+            # fewer than k steps — crediting it with k overstated both duty
+            # and images/sec (ADVICE r3).  Skip it; its decode cost stays in
+            # the wall time, which errs conservative (lower duty).
+            continue
+        state, key, m = fused(state, b, key)
         n += 1
+        steps += bk
     float(_metric_scalar(m)[-1])  # the state chain forces every dispatch
-    t_wall = (time.perf_counter() - t0) / max(n * k, 1)
+    t_wall = (time.perf_counter() - t0) / max(steps, 1)
     return min(t_dev / t_wall, 1.0), t_dev, t_wall

@@ -519,3 +519,46 @@ class TestRewardSign:
             p = jax.tree.map(lambda a, b: a - 0.1 * b, p, g)
         probs = np.asarray(jax.nn.softmax(p["w"]))[0]
         assert probs[2] > 0.6, probs
+
+
+class TestPolicyEntropyHeads:
+    """_entropy must see EVERY policy head (round-3 verdict weak #3: the
+    tree/parts occ heads — occ_level + occ_cells — were invisible, so the
+    metric could not catch occ-policy collapse in exactly the configs that
+    use it)."""
+
+    B = 4
+
+    def _tree_logits(self, collapse_occ):
+        from posetpu.train.adversarial import _entropy  # noqa: F401
+
+        B = self.B
+        big = 50.0
+        uni = jnp.zeros((B, 11))
+        lvl = jnp.zeros((B, 3))  # [none, level4, level8] style
+        cells = (jnp.zeros((B, 16)), jnp.zeros((B, 64)))
+        if collapse_occ:
+            lvl = lvl.at[:, 1].set(big)
+            cells = tuple(c.at[:, 0].set(big) for c in cells)
+        return {"scale": uni, "rot": uni, "occ_level": lvl, "occ_cells": cells}
+
+    def test_collapsed_tree_occ_drives_entropy_down(self):
+        from posetpu.train.adversarial import _entropy
+
+        healthy = float(_entropy(self._tree_logits(collapse_occ=False)))
+        collapsed = float(_entropy(self._tree_logits(collapse_occ=True)))
+        # scale/rot stay uniform in both; only the occ policy collapsed —
+        # the aggregate must move decisively (occ contributes 3 of 5 heads)
+        assert collapsed < 0.5 * healthy, (healthy, collapsed)
+        # occ terms themselves are ~0: residual == the scale/rot share
+        uni = float(_entropy({"scale": jnp.zeros((self.B, 11))}))
+        np.testing.assert_allclose(collapsed, 2.0 / 5.0 * uni, rtol=1e-5)
+
+    def test_flat_occ_still_counted(self):
+        from posetpu.train.adversarial import _entropy
+
+        B = self.B
+        uni = {"scale": jnp.zeros((B, 11)), "rot": jnp.zeros((B, 11)),
+               "occ": jnp.zeros((B, 9))}
+        coll = dict(uni, occ=jnp.zeros((B, 9)).at[:, 0].set(50.0))
+        assert float(_entropy(coll)) < float(_entropy(uni))

@@ -86,6 +86,30 @@ class TestAffineParity:
                 cont = transform_float(pts[i, k], c, s, (64, 64), rot=r)
                 assert_trunc_parity(out[i, k], ref, cont)
 
+    def test_int_float_pair_ulp_below_integer(self):
+        # Regression (ADVICE r3): trunc((out+1)-1) != trunc(out) in f32 for
+        # raw coords 1-2 ulp below an integer — out=1-2^-24 has out+1 round
+        # to 2.0 exactly, so the +1 round-trip truncates to 1 instead of 0.
+        # transform_points_int_float must truncate the raw 0-indexed map.
+        from posetpu.aug.affine import transform_points_int_float
+        import jax.numpy as jnp
+
+        eps_out = np.float32(1.0) - np.float32(2.0**-24)  # largest f32 < 1
+        # identity linear part, translation c: raw out = (pts - 1) + c
+        t = np.zeros((1, 3, 3), np.float32)
+        t[0, 0, 0] = t[0, 1, 1] = t[0, 2, 2] = 1.0
+        t[0, 0, 2] = t[0, 1, 2] = eps_out
+        pts = jnp.ones((1, 1, 2), jnp.float32)  # x-1 = 0 -> out = eps_out
+        ints, floats = transform_points_int_float(pts, jnp.asarray(t))
+        ints, floats = np.asarray(ints), np.asarray(floats)
+        # reference semantics: astype(int) + 1 on the raw map -> 0 + 1 = 1
+        np.testing.assert_array_equal(ints[0, 0], [1.0, 1.0])
+        # the float view keeps the (rounded) +1 offset value
+        np.testing.assert_array_equal(floats[0, 0], [2.0, 2.0])
+        # and matches transform_points(truncate=True) on the same inputs
+        via_trunc = np.asarray(transform_points(pts, jnp.asarray(t)))
+        np.testing.assert_array_equal(ints, via_trunc)
+
 
 class TestWarpParity:
     def test_matches_oracle_crop(self):

@@ -50,8 +50,22 @@ def main():
 
     root = "/tmp/posetpu_duty_synth"
     json_path = os.path.join(root, "annotations.json")
+    # whole K*B groups only: a ragged final group would be skipped by
+    # measure_duty_cycle_fused (recompile + short-credit hazard, ADVICE r3),
+    # wasting its decode time in the measured wall clock
+    unit = args.batch * max(1, args.k_per_dispatch)
+    n_train = -(-256 // unit) * unit
+    if os.path.exists(json_path):
+        from posetpu.data import schema
+
+        if len(schema.load_annotations(json_path)) < n_train + 8:
+            import shutil
+
+            shutil.rmtree(root)
     if not os.path.exists(json_path):
-        make_synthetic_dataset(root, num_train=256, num_val=8, res=(512, 384))
+        make_synthetic_dataset(
+            root, num_train=n_train, num_val=8, res=(512, 384)
+        )
     ds = MpiiDataset(json_path, os.path.join(root, "images"), split="train")
     from posetpu.parallel import make_batch_placer
 
