@@ -117,6 +117,20 @@ def _add_distractor(img, res, template, rng):
     return img
 
 
+def _head_rect_from_pts(pts_1idx):
+    """Synthetic MPII head rectangle [x1, y1, x2, y2] from the upper-neck
+    (8) -> head-top (9) segment: axis-aligned box centered on the segment
+    midpoint, width = seg, height = 1.6*seg.  Its official normalizer
+    0.6*diag ~= 1.13*seg sits close to (but measurably apart from) the
+    keypoint fallback 1.2*seg, so a drill can PROVE which branch ran."""
+    neck, top = pts_1idx[8], pts_1idx[9]
+    seg = float(np.linalg.norm(top - neck))
+    cx, cy = (neck + top) / 2.0
+    return np.array(
+        [cx - seg / 2, cy - 0.8 * seg, cx + seg / 2, cy + 0.8 * seg]
+    )
+
+
 def make_synthetic_dataset(
     out_dir,
     num_train=32,
@@ -125,6 +139,7 @@ def make_synthetic_dataset(
     dataset="mpii",
     seed=0,
     hard_val=False,
+    head_rects=False,
 ):
     """Create ``images/`` + ``annotations.json`` in the reference schema.
 
@@ -138,7 +153,15 @@ def make_synthetic_dataset(
     distractor figure in the background.  Train samples are unchanged, so
     any accuracy difference between training recipes on this val set
     comes from robustness, not from fitting the perturbations.
+
+    ``head_rects=True`` (MPII only) additionally writes the official
+    head-rectangle field to every annotation — the exact real-MPII schema
+    with head boxes, so the official-protocol PCKh branch
+    (tools/evaluate.py head_sizes) can be drilled end-to-end before real
+    annotations exist.
     """
+    if head_rects and dataset != "mpii":
+        raise ValueError("head_rects is an MPII-schema field")
     rng = np.random.RandomState(seed)
     W, H = res
     img_dir = os.path.join(out_dir, "images")
@@ -180,6 +203,7 @@ def make_synthetic_dataset(
                 pts=pts_1idx,
                 vis=np.ones(K),
                 is_validation=is_val,
+                head_rect=_head_rect_from_pts(pts_1idx) if head_rects else None,
             )
         )
     json_path = os.path.join(out_dir, "annotations.json")

@@ -636,3 +636,88 @@ class TestJointFusedSingleChip:
         cfg.checkpoint_dir = str(tmp_path)
         with pytest.raises(ValueError, match="fused_step"):
             Experiment(cfg)
+
+
+@pytest.mark.slow
+class TestRealMpiiReadinessDrill:
+    """Day-1-real-data drill (round-3 verdict item 6): annotations in the
+    exact reference MPII schema WITH official head rectangles ->
+    posetpu-train CLI -> tools/evaluate.py -> preds.mat, asserting the
+    OFFICIAL-protocol PCKh branch (head_rect) is exercised rather than the
+    keypoint fallback.  When real MPII annotations appear, this is the
+    path they take with zero untested seams."""
+
+    def _fixture(self, tmp_path):
+        root = tmp_path / "mpii_like"
+        ann = make_synthetic_dataset(
+            str(root), num_train=12, num_val=6, res=(320, 240),
+            head_rects=True,
+        )
+        return root, ann
+
+    def test_official_normalizer_differs_from_fallback(self, tmp_path):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "tools_evaluate",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "tools", "evaluate.py"),
+        )
+        ev = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ev)
+
+        root, ann = self._fixture(tmp_path)
+        val = MpiiDataset(ann, os.path.join(str(root), "images"),
+                          split="valid")
+        n = len(val)
+        assert n == 6
+        gts = np.stack([val.meta(i)[2] for i in range(n)])
+        sizes = ev.head_sizes(val, gts, "mpii")
+        fallback = ev.head_sizes_from_pts(gts, "mpii")
+        # every sample carries a head box, and the official 0.6*diag
+        # normalizer is what comes back — NOT the 1.2*segment fallback
+        for i in range(n):
+            official = val.head_size(i)
+            assert official is not None
+            np.testing.assert_allclose(sizes[i], max(official, 1.0), rtol=1e-6)
+        assert np.all(np.abs(sizes - fallback) / fallback > 0.02), (
+            sizes, fallback,
+        )
+
+    def test_train_then_official_eval_to_preds_mat(self, tmp_path, capsys):
+        import importlib.util
+
+        from scipy.io import loadmat
+
+        from posetpu.train import cli
+
+        root, ann = self._fixture(tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        common = [
+            "--json", ann,
+            "--image-path", os.path.join(str(root), "images"),
+            "--checkpoint", ckpt,
+            "--stacks", "1", "--features", "8", "--train-batch", "4",
+            "--num-devices", "1",
+        ]
+        rc = cli.main([
+            "--config", "hg2_mpii_mini", "--cpu",
+            "--epochs", "1", "--steps-per-epoch", "2", *common,
+        ])
+        assert rc == 0
+
+        spec = importlib.util.spec_from_file_location(
+            "tools_evaluate",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "tools", "evaluate.py"),
+        )
+        ev = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ev)
+        pckh = ev.main(["--config", "hg2_mpii_mini", "--best", *common])
+        out = capsys.readouterr().out
+        assert np.isfinite(pckh) and 0.0 <= pckh <= 100.0
+        # all-official head boxes: the mixed-sources warning must NOT fire
+        assert "keypoint-approximated" not in out
+        assert "PCKh@0.5" in out
+        mat = loadmat(os.path.join(ckpt, "hg2_mpii_mini", "preds.mat"))
+        assert mat["preds"].shape == (6, 16, 2)
