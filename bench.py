@@ -103,7 +103,7 @@ def _fused_k_rates(step, state, batch_dev, batch, K, warmup, trials,
 
 
 def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
-              trials=3, scan_stacks=False):
+              trials=3, scan_stacks=False, warp_table="u8"):
     import jax
     import jax.numpy as jnp
 
@@ -115,6 +115,7 @@ def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
     cfg = named_config("hg8_mpii")
     cfg.aug.inp_res = (res, res)
     cfg.aug.out_res = (res // 4, res // 4)
+    cfg.aug.warp_table = warp_table
     model = hg(
         num_stacks=stacks, num_blocks=1, num_classes=16, num_feats=feats,
         scan_stacks=scan_stacks, remat=scan_stacks,
@@ -491,6 +492,11 @@ def main():
         "(device-resident mode)",
     )
     ap.add_argument(
+        "--warp-table", choices=["u8", "packed32"], default="u8",
+        help="warp patch-table layout A/B (device-resident mode; "
+        "bit-exact — see aug/warp.py)",
+    )
+    ap.add_argument(
         "--joint", action="store_true",
         help="benchmark the full adversarial (ASR) minimax step",
     )
@@ -594,6 +600,8 @@ def main():
             kw["trials"] = args.trials
         if args.scan_stacks:
             kw["scan_stacks"] = True
+        if args.warp_table != "u8":
+            kw["warp_table"] = args.warp_table
         try:
             ips = run_bench(**kw)
         except Exception as e:

@@ -170,6 +170,7 @@ def augment_batch(
     jitter_key=None,
     jitter_keys=None,
     src_index=None,
+    warp_table="u8",
 ):
     """Fully-fused device augmentation of one batch.
 
@@ -220,7 +221,8 @@ def augment_batch(
     mirror = _mirror_matrix(w, (B,))
     t_eff = jnp.where(flip[:, None, None], compose_affine(t_img, mirror), t_img)
     inp = affine_warp(
-        images, t_eff, inp_res, valid_wh=valid_wh, src_index=src_index
+        images, t_eff, inp_res, valid_wh=valid_wh, src_index=src_index,
+        table_format=warp_table,
     )
 
     # Known deviation from the reference recipe: jitter runs on the WARPED

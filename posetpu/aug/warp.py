@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from posetpu.aug.affine import invert_affine
 
 
-def affine_warp(images, t, out_res, valid_wh=None, src_index=None):
+def affine_warp(images, t, out_res, valid_wh=None, src_index=None,
+                table_format="u8"):
     """Warp ``images`` (B, H, W, C) by per-sample affines ``t`` (N, 3, 3)
     mapping source->output; sampling happens through the inverse.
 
@@ -39,6 +40,16 @@ def affine_warp(images, t, out_res, valid_wh=None, src_index=None):
                 image index — N may exceed B, so several differently-warped
                 crops (e.g. the joint step's neutral/adversarial/reference
                 triple) read the source batch in ONE gather pass.
+      table_format: "u8" (default) keeps the patch table in raw bytes;
+                "packed32" packs each RGB pixel into ONE uint32 lane before
+                the shifted-concat, so the table build is 4-byte-element
+                work instead of byte-granularity copies (the round-3
+                xplane showed the u8 assembly lowering to while-loops +
+                byte-column dynamic-update-slices, ~9 ms of the 97 ms
+                step) and the gathered row is 16 lane-aligned bytes
+                instead of 12.  Bit-exact with "u8" (pack/unpack moves
+                the same integers); only applies to uint8 C=3 sources —
+                anything else silently uses the u8 path.
 
     Returns (N, H_out, W_out, C) float32 with zero border.
     """
@@ -99,18 +110,9 @@ def affine_warp(images, t, out_res, valid_wh=None, src_index=None):
     post_scale = None
     if images.dtype == jnp.uint8:
         post_scale = jnp.float32(1.0 / 255.0)
+    packed = table_format == "packed32" and images.dtype == jnp.uint8 and C == 3
     padded = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    T = jnp.concatenate(
-        [
-            padded[:, :-1, :-1],  # corner (y0,   x0)
-            padded[:, :-1, 1:],   # corner (y0,   x0+1)
-            padded[:, 1:, :-1],   # corner (y0+1, x0)
-            padded[:, 1:, 1:],    # corner (y0+1, x0+1)
-        ],
-        axis=-1,
-    )  # (B, H+1, W+1, 4C)
     Ht, Wt = H + 1, W + 1
-    flat = T.reshape(B * Ht * Wt, 4 * C)
     if src_index is None:
         src = jnp.arange(N, dtype=jnp.int32)
     else:
@@ -119,8 +121,43 @@ def affine_warp(images, t, out_res, valid_wh=None, src_index=None):
     yc = jnp.clip(y0, -1, H - 1) + 1
     xc = jnp.clip(x0, -1, W - 1) + 1
     idx = (boff + yc * Wt + xc).reshape(N * Ho * Wo)
-    patch = jnp.take(flat, idx, axis=0).reshape(N, Ho, Wo, 4, C)
-    patch = patch.astype(jnp.float32)
+    if packed:
+        # one uint32 lane per pixel: r | g<<8 | b<<16 (elementwise VPU
+        # work at full width; no byte-column copies), then the same
+        # shifted-concat + single gather over 4-lane rows
+        p32 = (
+            padded[..., 0].astype(jnp.uint32)
+            | (padded[..., 1].astype(jnp.uint32) << 8)
+            | (padded[..., 2].astype(jnp.uint32) << 16)
+        )  # (B, H+2, W+2)
+        T = jnp.stack(
+            [
+                p32[:, :-1, :-1],  # corner (y0,   x0)
+                p32[:, :-1, 1:],   # corner (y0,   x0+1)
+                p32[:, 1:, :-1],   # corner (y0+1, x0)
+                p32[:, 1:, 1:],    # corner (y0+1, x0+1)
+            ],
+            axis=-1,
+        )  # (B, H+1, W+1, 4)
+        rows = jnp.take(T.reshape(B * Ht * Wt, 4), idx, axis=0)
+        rows = rows.reshape(N, Ho, Wo, 4)
+        patch = jnp.stack(
+            [rows & 0xFF, (rows >> 8) & 0xFF, (rows >> 16) & 0xFF],
+            axis=-1,
+        ).astype(jnp.float32)  # exact unpack of the same integers
+    else:
+        T = jnp.concatenate(
+            [
+                padded[:, :-1, :-1],  # corner (y0,   x0)
+                padded[:, :-1, 1:],   # corner (y0,   x0+1)
+                padded[:, 1:, :-1],   # corner (y0+1, x0)
+                padded[:, 1:, 1:],    # corner (y0+1, x0+1)
+            ],
+            axis=-1,
+        )  # (B, H+1, W+1, 4C)
+        flat = T.reshape(B * Ht * Wt, 4 * C)
+        patch = jnp.take(flat, idx, axis=0).reshape(N, Ho, Wo, 4, C)
+        patch = patch.astype(jnp.float32)
     if post_scale is not None:
         patch = patch * post_scale
 

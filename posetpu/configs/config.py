@@ -42,6 +42,9 @@ class AugConfig:
     scale_mode: str = "exp"
     color_jitter: bool = True
     dataset: str = "mpii"
+    # warp patch-table layout: "u8" raw bytes | "packed32" one uint32 lane
+    # per RGB pixel (bit-exact; see aug/warp.py) — perf A/B knob
+    warp_table: str = "u8"
 
 
 @dataclass

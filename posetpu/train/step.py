@@ -41,6 +41,8 @@ def _augment(batch, params, aug_cfg, mean, std, jitter_keys):
         std=std,
         dataset=aug_cfg.dataset,
         jitter_keys=jitter_keys,
+        # getattr: config dumps from before the knob existed restore fine
+        warp_table=getattr(aug_cfg, "warp_table", "u8"),
     )
 
 

@@ -56,9 +56,21 @@ def probe_backend(deadline: float = 120.0) -> tuple[bool, str]:
     except OSError as e:  # no python subprocess possible — report, don't hang
         return False, f"backend probe could not launch: {e}"
     if r.returncode != 0:
-        lines = [ln for ln in (r.stderr or "").strip().splitlines() if ln]
-        tail = lines[-1][:400] if lines else f"probe exit code {r.returncode}"
-        return False, tail
+        # the actual error, not jax's traceback-filtering banner or the
+        # "-----" separators around it
+        noise = ("JAX has removed its internal frames", "JAX_TRACEBACK_FILTERING")
+        lines = [
+            ln.strip()
+            for ln in (r.stderr or "").strip().splitlines()
+            if ln.strip()
+            and any(c.isalnum() for c in ln)
+            and not any(n in ln for n in noise)
+        ]
+        err = [ln for ln in lines if "Error" in ln or "UNAVAILABLE" in ln]
+        pick = (err or lines)[-1] if (err or lines) else (
+            f"probe exit code {r.returncode}"
+        )
+        return False, pick[:400]
     return True, ""
 
 

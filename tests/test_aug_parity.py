@@ -126,6 +126,71 @@ class TestWarpParity:
             ref = oracle_crop(img, c, s, (256, 256), rot=r)
             np.testing.assert_allclose(out[i], ref, atol=2e-4)
 
+    def test_packed32_table_bit_exact(self):
+        # packed32 moves the SAME integers through a uint32 lane (pack ->
+        # gather -> unpack), so the result must be bitwise identical to the
+        # u8 table path on uint8 sources — incl. borders, ragged valid_wh,
+        # and src_index fan-out.
+        rng = np.random.RandomState(7)
+        B = len(CASES)
+        imgs = rng.randint(0, 256, (B, 120, 160, 3), dtype=np.uint8)
+        centers = np.array([c for c, _, _ in CASES]) * 0.5
+        scales = np.array([s for _, s, _ in CASES])
+        rots = np.array([r for _, _, r in CASES])
+        t = make_transform(centers, scales, (64, 64), rots)
+        valid_wh = np.tile(np.array([[150, 110]], np.int32), (B, 1))
+        src = np.array([i // 2 for i in range(B)], np.int32)  # fan-out
+        a = np.asarray(
+            affine_warp(imgs, t, (64, 64), valid_wh=valid_wh, src_index=src)
+        )
+        b = np.asarray(
+            affine_warp(
+                imgs, t, (64, 64), valid_wh=valid_wh, src_index=src,
+                table_format="packed32",
+            )
+        )
+        np.testing.assert_array_equal(a, b)
+
+    def test_packed32_through_augment_batch(self):
+        # the config knob threads through the full pipeline identically
+        import jax
+        import jax.numpy as jnp
+
+        from posetpu.aug import augment_batch, neutral_params
+
+        rng = np.random.RandomState(9)
+        B, K = 3, 16
+        imgs = rng.randint(0, 256, (B, 96, 128, 3), dtype=np.uint8)
+        kw = dict(
+            valid_wh=np.tile(np.array([[128, 96]], np.int32), (B, 1)),
+            center=np.tile(np.array([[64.0, 48.0]], np.float32), (B, 1)),
+            scale=np.full((B,), 0.4, np.float32),
+            pts=(rng.rand(B, K, 2) * 80 + 10).astype(np.float32),
+            vis=np.ones((B, K), np.float32),
+        )
+        p = neutral_params(B)
+        a = augment_batch(imgs, kw["valid_wh"], kw["center"], kw["scale"],
+                          kw["pts"], kw["vis"], p, inp_res=(64, 64),
+                          out_res=(16, 16))
+        b = augment_batch(imgs, kw["valid_wh"], kw["center"], kw["scale"],
+                          kw["pts"], kw["vis"], p, inp_res=(64, 64),
+                          out_res=(16, 16), warp_table="packed32")
+        for key in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[key]), np.asarray(b[key]), err_msg=key
+            )
+
+    def test_packed32_falls_back_on_float_input(self):
+        rng = np.random.RandomState(8)
+        img = rng.rand(2, 50, 60, 3).astype(np.float32)
+        t = make_transform(
+            np.array([[30.0, 25.0]] * 2), np.array([0.3, 0.3]), (32, 32),
+            np.array([0.0, 10.0]),
+        )
+        a = np.asarray(affine_warp(img, t, (32, 32)))
+        b = np.asarray(affine_warp(img, t, (32, 32), table_format="packed32"))
+        np.testing.assert_array_equal(a, b)
+
     def test_valid_wh_padding_equivalence(self):
         # Warping a padded image with valid_wh must equal warping the
         # unpadded image.

@@ -1,0 +1,115 @@
+"""Round-4 TPU measurement campaign in one command.
+
+The axon tunnel has a history of multi-hour outages (BENCH_r03 rc=124;
+docs/round3_notes.md), so when a healthy window appears every queued
+measurement should run unattended, most-important-first, each stage
+bounded by its own timeout and logged as one JSON line — a mid-campaign
+wedge then costs only the remaining stages.
+
+Stages (see VERDICT round 3 "Next round" items 1 and 3):
+  1. headline        — validate the unified _fused_k_rates harness
+                       reproduces ~313 img/s (refactor-drift check)
+  2. warp-packed32   — bit-exact uint32-lane patch-table A/B
+  3. batch-48/64     — the 64²-level batch-blocking MFU lever
+  4. batch-64-scan   — same with nn.scan+remat (memory headroom)
+  5. serve-pipe2     — pipelined serving re-measurement
+  6. joint-fused     — config-3 monolith (compile ~10 min: run last)
+  7. duty-k8         — production K-per-dispatch duty cycle
+
+Usage: python tools/bench_matrix.py [--out FILE] [--stages a,b,...]
+Results append to bench_matrix_results.jsonl (one JSON object per stage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+STAGES = [
+    # (name, argv, timeout_s)
+    ("headline", ["bench.py"], 1200),
+    ("warp-packed32", ["bench.py", "--warp-table", "packed32"], 1200),
+    ("batch-48", ["bench.py", "--batch", "48"], 1200),
+    ("batch-64", ["bench.py", "--batch", "64"], 1500),
+    ("batch-64-scan", ["bench.py", "--batch", "64", "--scan-stacks"], 1500),
+    ("serve-pipe2", ["bench.py", "--serve", "--pipeline", "2"], 1200),
+    ("joint-fused", ["bench.py", "--joint", "--fused"], 2400),
+    (
+        "duty-k8",
+        ["tools/duty_cycle.py", "--k-per-dispatch", "8", "--steps", "32"],
+        2400,
+    ),
+]
+
+
+def run_stage(name, argv, timeout):
+    t0 = time.time()
+    rec = {"stage": name, "argv": argv, "started_unix": round(t0, 1)}
+    try:
+        r = subprocess.run(
+            [sys.executable] + argv,
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=REPO,
+        )
+        rec["rc"] = r.returncode
+        rec["wall_s"] = round(time.time() - t0, 1)
+        out_lines = [ln for ln in r.stdout.strip().splitlines() if ln]
+        rec["stdout_tail"] = out_lines[-3:]
+        rec["stderr_tail"] = (r.stderr or "").strip().splitlines()[-3:]
+        for ln in reversed(out_lines):  # bench prints ONE json line
+            try:
+                rec["result"] = json.loads(ln)
+                break
+            except ValueError:
+                continue
+    except subprocess.TimeoutExpired:
+        rec["rc"] = None
+        rec["wall_s"] = round(time.time() - t0, 1)
+        rec["error"] = f"stage timeout after {timeout}s"
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "bench_matrix_results.jsonl")
+    )
+    ap.add_argument(
+        "--stages", default=None,
+        help="comma-separated subset of stage names (default: all)",
+    )
+    args = ap.parse_args()
+
+    want = set(args.stages.split(",")) if args.stages else None
+    todo = [s for s in STAGES if want is None or s[0] in want]
+    if want:
+        missing = want - {s[0] for s in todo}
+        if missing:
+            sys.exit(f"unknown stages: {sorted(missing)}")
+
+    for name, argv, timeout in todo:
+        print(f"[matrix] {name}: {' '.join(argv)} (timeout {timeout}s)",
+              flush=True)
+        rec = run_stage(name, argv, timeout)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        res = rec.get("result", {})
+        print(f"[matrix] {name}: rc={rec.get('rc')} wall={rec.get('wall_s')}s "
+              f"value={res.get('value')}", flush=True)
+        # a dead tunnel fails every later stage the same way — stop early
+        if isinstance(res, dict) and res.get("error") == "tpu_unavailable":
+            print("[matrix] backend unavailable — aborting remaining stages",
+                  flush=True)
+            sys.exit(3)
+
+
+if __name__ == "__main__":
+    main()
