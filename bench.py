@@ -535,6 +535,12 @@ def main():
         if not ok:
             _fail_fast(detail)
 
+    # persistent XLA cache: a re-run of the same bench skips the multi-
+    # minute (joint monolith: ~10 min) compile entirely
+    from posetpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     per_dispatch = bool(args.loader or args.joint or args.serve)
     if args.quick:
         kw = dict(batch=4, stacks=1, feats=16, steps=5, warmup=2, res=64)

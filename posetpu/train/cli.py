@@ -75,6 +75,10 @@ def main(argv=None):
                   "bypass this check)")
             return 2
 
+    from posetpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     cfg = named_config(args.config)
     cfg = apply_overrides(cfg, args)
 

@@ -54,6 +54,7 @@ def main(argv=None):
     ap.add_argument("--config", default="hg2_mpii_mini")
     ap.add_argument("--best", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-probe", action="store_true")
     from posetpu.configs import add_overrides
 
     add_overrides(ap)
@@ -63,6 +64,19 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    elif not (args.no_probe or os.environ.get("POSETPU_SKIP_PROBE") == "1"):
+        # same fail-fast liveness check as posetpu-train (SURVEY.md §5.3):
+        # a wedged tunnel otherwise hangs the restore for many minutes
+        from posetpu.utils.probe import probe_backend
+
+        ok, detail = probe_backend()
+        if not ok:
+            print(f"[eval] FATAL: device unreachable: {detail}")
+            raise SystemExit(2)
+
+    from posetpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from posetpu.configs import apply_overrides, named_config
     from posetpu.eval import pck_lsp, pckh, save_preds
