@@ -31,5 +31,8 @@ bench:
 quickbench:
 	python bench.py --quick
 
+benchmatrix:  # full round measurement campaign (JSONL log, fail-fast)
+	python tools/bench_matrix.py
+
 clean:
 	rm -f $(NATIVE_LIB)
