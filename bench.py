@@ -23,7 +23,15 @@ updates, wall time dominated by device compute.  That is what run_bench
 measures.  Loader-fed and joint modes fetch the loss every step instead
 (host-inclusive, see their docstrings).
 
-Usage: python bench.py [--quick] [--batch N] [--stacks N] [--steps N]
+Usage: python bench.py [--quick] [--cpu] [--batch N] [--stacks N]
+       [--steps N] [--warp-table u8|packed32] [--joint [--fused]]
+       [--serve [--pipeline K]] [--loader host|grain] [--no-probe]
+
+A backend-liveness probe runs first (subprocess jit under
+--probe-deadline); on a wedged device tunnel the script prints ONE
+structured line with "error": "tpu_unavailable" and exits 3 instead of
+hanging (BENCH_r03 post-mortem).  tools/bench_matrix.py chains the whole
+measurement campaign.
 """
 
 from __future__ import annotations
@@ -67,7 +75,10 @@ def _fused_k_rates(step, state, batch_dev, batch, K, warmup, trials,
     dispatch, synchronized only by the final device->host loss fetch
     (block_until_ready lies on this tunnel).  Returns the median rate of
     ``trials`` timed dispatches; with ``compile_label`` the first-call
-    (compile+run) wall time is logged to stderr."""
+    (compile+run) wall time is logged to stderr.  NOTE: with the
+    persistent XLA cache enabled (the default since round 4) a warm
+    machine's first call measures cache deserialization, not a fresh
+    compile — use POSETPU_XLA_CACHE=0 to re-measure true compile time."""
     import statistics
     from functools import partial
 
