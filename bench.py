@@ -114,7 +114,8 @@ def _fused_k_rates(step, state, batch_dev, batch, K, warmup, trials,
 
 
 def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
-              trials=3, scan_stacks=False, warp_table="u8"):
+              trials=3, scan_stacks=False, warp_table="u8",
+              raster_backend="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -127,6 +128,7 @@ def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
     cfg.aug.inp_res = (res, res)
     cfg.aug.out_res = (res // 4, res // 4)
     cfg.aug.warp_table = warp_table
+    cfg.aug.raster_backend = raster_backend
     model = hg(
         num_stacks=stacks, num_blocks=1, num_classes=16, num_feats=feats,
         scan_stacks=scan_stacks, remat=scan_stacks,
@@ -508,6 +510,11 @@ def main():
         "bit-exact — see aug/warp.py)",
     )
     ap.add_argument(
+        "--raster-backend", choices=["auto", "xla", "pallas"], default="auto",
+        help="Gaussian target rasterizer A/B (device-resident mode; "
+        "parity-tested — see aug/heatmap.py)",
+    )
+    ap.add_argument(
         "--joint", action="store_true",
         help="benchmark the full adversarial (ASR) minimax step",
     )
@@ -619,6 +626,8 @@ def main():
             kw["scan_stacks"] = True
         if args.warp_table != "u8":
             kw["warp_table"] = args.warp_table
+        if args.raster_backend != "auto":
+            kw["raster_backend"] = args.raster_backend
         try:
             ips = run_bench(**kw)
         except Exception as e:

@@ -54,7 +54,12 @@ def rasterize_gaussians(pts, visible, res, sigma=1.0, backend="auto"):
     if backend == "auto":
         import jax
 
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # this environment's TPU registers as the experimental "axon"
+        # PJRT platform, not "tpu" — without it in the set, "auto" would
+        # silently never run the Pallas kernel on the real chip
+        backend = (
+            "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        )
     if backend == "pallas":
         from posetpu.aug.pallas_kernels import rasterize_gaussians_pallas
 

@@ -171,6 +171,7 @@ def augment_batch(
     jitter_keys=None,
     src_index=None,
     warp_table="u8",
+    raster_backend="auto",
 ):
     """Fully-fused device augmentation of one batch.
 
@@ -245,7 +246,7 @@ def augment_batch(
     # 1-2 ulp below integers — see transform_points_int_float)
     tpts, tpts_float = transform_points_int_float(pts_f, t_out)
     target, target_weight = rasterize_gaussians(
-        tpts - 1.0, vis_f, out_res, sigma=sigma
+        tpts - 1.0, vis_f, out_res, sigma=sigma, backend=raster_backend
     )
     return {
         "input": inp,

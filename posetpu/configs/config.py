@@ -45,6 +45,9 @@ class AugConfig:
     # warp patch-table layout: "u8" raw bytes | "packed32" one uint32 lane
     # per RGB pixel (bit-exact; see aug/warp.py) — perf A/B knob
     warp_table: str = "u8"
+    # target rasterizer: "auto" (Pallas on tpu/axon, else XLA) | "xla" |
+    # "pallas" — the two are ulp-level parity-tested; perf A/B knob
+    raster_backend: str = "auto"
 
 
 @dataclass

@@ -110,6 +110,7 @@ def _augment_pair(batch, params_a, params_b, aug_cfg, mean, std, jitter_keys):
             [jnp.arange(B, dtype=jnp.int32)] * 2
         ),
         warp_table=getattr(aug_cfg, "warp_table", "u8"),
+        raster_backend=getattr(aug_cfg, "raster_backend", "auto"),
     )
 
 

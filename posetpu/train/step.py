@@ -41,8 +41,9 @@ def _augment(batch, params, aug_cfg, mean, std, jitter_keys):
         std=std,
         dataset=aug_cfg.dataset,
         jitter_keys=jitter_keys,
-        # getattr: config dumps from before the knob existed restore fine
+        # getattr: config dumps from before the knobs existed restore fine
         warp_table=getattr(aug_cfg, "warp_table", "u8"),
+        raster_backend=getattr(aug_cfg, "raster_backend", "auto"),
     )
 
 

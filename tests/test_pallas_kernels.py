@@ -38,3 +38,40 @@ class TestPallasRasterizer:
         vis = np.ones((1, 2))
         t, v = rasterize_gaussians(pts, vis, (32, 32), backend="auto")
         assert t.shape == (1, 2, 32, 32)
+
+
+class TestAutoBackendSelection:
+    """"auto" must pick the Pallas kernel on BOTH tpu and axon platforms —
+    this machine's TPU registers as the experimental "axon" PJRT platform,
+    and before round 4 the auto rule compared against "tpu" only, so the
+    kernel silently never ran on the real chip."""
+
+    def _select(self, monkeypatch, platform):
+        import jax
+
+        import posetpu.aug.pallas_kernels as pk
+
+        chosen = []
+        monkeypatch.setattr(
+            pk,
+            "rasterize_gaussians_pallas",
+            lambda *a, **k: chosen.append("pallas") or ("t", "v"),
+        )
+        monkeypatch.setattr(jax, "default_backend", lambda: platform)
+        out = rasterize_gaussians(
+            np.zeros((1, 2, 2)), np.ones((1, 2)), (8, 8), backend="auto"
+        )
+        return chosen, out
+
+    def test_axon_selects_pallas(self, monkeypatch):
+        chosen, out = self._select(monkeypatch, "axon")
+        assert chosen == ["pallas"] and out == ("t", "v")
+
+    def test_tpu_selects_pallas(self, monkeypatch):
+        chosen, out = self._select(monkeypatch, "tpu")
+        assert chosen == ["pallas"]
+
+    def test_cpu_selects_xla(self, monkeypatch):
+        chosen, (t, v) = self._select(monkeypatch, "cpu")
+        assert chosen == []  # real XLA arrays came back
+        assert t.shape == (1, 2, 8, 8)

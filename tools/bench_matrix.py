@@ -33,8 +33,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 STAGES = [
     # (name, argv, timeout_s)
-    ("headline", ["bench.py"], 1200),
-    ("warp-packed32", ["bench.py", "--warp-table", "packed32"], 1200),
+    # headline pins --raster-backend xla: the round-3 rows were measured
+    # before the auto rule recognized the axon platform, i.e. WITH the XLA
+    # rasterizer — the refactor-drift check must compare like with like
+    ("headline", ["bench.py", "--raster-backend", "xla"], 1200),
+    ("raster-pallas", ["bench.py", "--raster-backend", "pallas"], 1200),
+    ("warp-packed32", ["bench.py", "--warp-table", "packed32",
+                       "--raster-backend", "xla"], 1200),
     ("batch-48", ["bench.py", "--batch", "48"], 1200),
     ("batch-64", ["bench.py", "--batch", "64"], 1500),
     ("batch-64-scan", ["bench.py", "--batch", "64", "--scan-stacks"], 1500),
