@@ -79,6 +79,10 @@ def run_stage(name, argv, timeout):
         rec["rc"] = None
         rec["wall_s"] = round(time.time() - t0, 1)
         rec["error"] = f"stage timeout after {timeout}s"
+    except Exception as e:  # a broken stage must not lose the rest
+        rec["rc"] = None
+        rec["wall_s"] = round(time.time() - t0, 1)
+        rec["error"] = f"{type(e).__name__}: {e}"
     return rec
 
 
