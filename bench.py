@@ -148,7 +148,8 @@ def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
 
 
 def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
-                    res=None, fused=False, config="hg8_mpii_asr", trials=3):
+                    res=None, fused=False, config="hg8_mpii_asr", trials=3,
+                    raster_backend="auto"):
     """Full adversarial (ASR) minimax step throughput — the flagship
     feature.
 
@@ -191,6 +192,7 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
     if res:
         cfg.aug.inp_res = (res, res)
         cfg.aug.out_res = (res // 4, res // 4)
+    cfg.aug.raster_backend = raster_backend
     res = cfg.aug.inp_res[0]
     classes = cfg.model.classes
     model = hg(
@@ -438,7 +440,7 @@ def run_bench_loader(
     return batch * steps / (time.perf_counter() - t0)
 
 
-def _fail_fast(reason, ap_args=None):
+def _fail_fast(reason):
     """Print the driver-parseable structured error line and exit nonzero.
 
     An unreachable backend must become a <3-minute diagnostic, never a
@@ -598,6 +600,8 @@ def main():
                 kw["warmup"] = 1  # default stays one K-step warm dispatch
             if args.trials:
                 kw["trials"] = args.trials
+        if args.raster_backend != "auto":
+            kw["raster_backend"] = args.raster_backend
         kw["config"] = args.config
         if args.res is None and not args.quick:
             kw["res"] = None  # keep the named config's own resolution

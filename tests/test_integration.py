@@ -713,7 +713,10 @@ class TestRealMpiiReadinessDrill:
         )
         ev = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(ev)
-        pckh = ev.main(["--config", "hg2_mpii_mini", "--best", *common])
+        # --cpu also skips evaluate's backend probe (which would otherwise
+        # spawn a subprocess targeting the pinned axon tunnel mid-test)
+        pckh = ev.main(["--config", "hg2_mpii_mini", "--best", "--cpu",
+                        *common])
         out = capsys.readouterr().out
         assert np.isfinite(pckh) and 0.0 <= pckh <= 100.0
         # all-official head boxes: the mixed-sources warning must NOT fire

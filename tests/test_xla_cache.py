@@ -49,6 +49,7 @@ class TestPersistentCache:
 
         monkeypatch.delenv("POSETPU_XLA_CACHE", raising=False)
         d = str(tmp_path / "hit")
+        before_size = jax.config.jax_persistent_cache_min_entry_size_bytes
         enable_persistent_cache(d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -59,4 +60,7 @@ class TestPersistentCache:
         finally:
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 10.0
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", before_size
             )

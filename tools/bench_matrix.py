@@ -6,15 +6,19 @@ measurement should run unattended, most-important-first, each stage
 bounded by its own timeout and logged as one JSON line — a mid-campaign
 wedge then costs only the remaining stages.
 
-Stages (see VERDICT round 3 "Next round" items 1 and 3):
+Stages (see VERDICT round 3 "Next round" items 1 and 3).  Every stage
+that has a round-3 reference row pins --raster-backend xla: round-3 rows
+predate the auto->Pallas axon fix, so like-for-like comparisons must hold
+the rasterizer constant; raster-pallas is the one stage that varies it.
   1. headline        — validate the unified _fused_k_rates harness
                        reproduces ~313 img/s (refactor-drift check)
-  2. warp-packed32   — bit-exact uint32-lane patch-table A/B
-  3. batch-48/64     — the 64²-level batch-blocking MFU lever
-  4. batch-64-scan   — same with nn.scan+remat (memory headroom)
-  5. serve-pipe2     — pipelined serving re-measurement
-  6. joint-fused     — config-3 monolith (compile ~10 min: run last)
-  7. duty-k8         — production K-per-dispatch duty cycle
+  2. raster-pallas   — Pallas vs XLA rasterizer A/B (only varied knob)
+  3. warp-packed32   — bit-exact uint32-lane patch-table A/B
+  4. batch-48/64     — the 64²-level batch-blocking MFU lever
+  5. batch-64-scan   — same with nn.scan+remat (memory headroom)
+  6. serve-pipe2     — pipelined serving re-measurement (no rasterizer)
+  7. joint-fused     — config-3 monolith (compile ~10 min: run last)
+  8. duty-k8         — production K-per-dispatch duty cycle
 
 Usage: python tools/bench_matrix.py [--out FILE] [--stages a,b,...]
 Results append to bench_matrix_results.jsonl (one JSON object per stage).
@@ -40,11 +44,15 @@ STAGES = [
     ("raster-pallas", ["bench.py", "--raster-backend", "pallas"], 1200),
     ("warp-packed32", ["bench.py", "--warp-table", "packed32",
                        "--raster-backend", "xla"], 1200),
-    ("batch-48", ["bench.py", "--batch", "48"], 1200),
-    ("batch-64", ["bench.py", "--batch", "64"], 1500),
-    ("batch-64-scan", ["bench.py", "--batch", "64", "--scan-stacks"], 1500),
+    ("batch-48", ["bench.py", "--batch", "48",
+                  "--raster-backend", "xla"], 1200),
+    ("batch-64", ["bench.py", "--batch", "64",
+                  "--raster-backend", "xla"], 1500),
+    ("batch-64-scan", ["bench.py", "--batch", "64", "--scan-stacks",
+                       "--raster-backend", "xla"], 1500),
     ("serve-pipe2", ["bench.py", "--serve", "--pipeline", "2"], 1200),
-    ("joint-fused", ["bench.py", "--joint", "--fused"], 2400),
+    ("joint-fused", ["bench.py", "--joint", "--fused",
+                     "--raster-backend", "xla"], 2400),
     (
         "duty-k8",
         ["tools/duty_cycle.py", "--k-per-dispatch", "8", "--steps", "32"],
@@ -69,12 +77,14 @@ def run_stage(name, argv, timeout):
         out_lines = [ln for ln in r.stdout.strip().splitlines() if ln]
         rec["stdout_tail"] = out_lines[-3:]
         rec["stderr_tail"] = (r.stderr or "").strip().splitlines()[-3:]
-        for ln in reversed(out_lines):  # bench prints ONE json line
+        for ln in reversed(out_lines):  # bench prints ONE json OBJECT line
             try:
-                rec["result"] = json.loads(ln)
-                break
+                obj = json.loads(ln)
             except ValueError:
                 continue
+            if isinstance(obj, dict):  # bare scalars are not results
+                rec["result"] = obj
+                break
     except subprocess.TimeoutExpired:
         rec["rc"] = None
         rec["wall_s"] = round(time.time() - t0, 1)

@@ -58,7 +58,13 @@ def main():
     if os.path.exists(json_path):
         from posetpu.data import schema
 
-        if len(schema.load_annotations(json_path)) < n_train + 8:
+        n_have = sum(
+            not s.is_validation for s in schema.load_annotations(json_path)
+        )
+        # the loader iterates the WHOLE train split, so reuse requires the
+        # existing split itself to divide into whole K*B groups — a
+        # size-only check would still yield the ragged group every epoch
+        if n_have < n_train or n_have % unit:
             import shutil
 
             shutil.rmtree(root)

@@ -55,6 +55,7 @@ def main(argv=None):
     ap.add_argument("--best", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-probe", action="store_true")
+    ap.add_argument("--probe-deadline", type=float, default=120.0)
     from posetpu.configs import add_overrides
 
     add_overrides(ap)
@@ -69,7 +70,7 @@ def main(argv=None):
         # a wedged tunnel otherwise hangs the restore for many minutes
         from posetpu.utils.probe import probe_backend
 
-        ok, detail = probe_backend()
+        ok, detail = probe_backend(deadline=args.probe_deadline)
         if not ok:
             print(f"[eval] FATAL: device unreachable: {detail}")
             raise SystemExit(2)
