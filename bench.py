@@ -115,7 +115,7 @@ def _fused_k_rates(step, state, batch_dev, batch, K, warmup, trials,
 
 def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
               trials=3, scan_stacks=False, warp_table="u8",
-              raster_backend="auto"):
+              raster_backend="xla"):
     import jax
     import jax.numpy as jnp
 
@@ -149,7 +149,7 @@ def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
 
 def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
                     res=None, fused=False, config="hg8_mpii_asr", trials=3,
-                    raster_backend="auto"):
+                    raster_backend="xla"):
     """Full adversarial (ASR) minimax step throughput — the flagship
     feature.
 
@@ -512,9 +512,15 @@ def main():
         "bit-exact — see aug/warp.py)",
     )
     ap.add_argument(
-        "--raster-backend", choices=["auto", "xla", "pallas"], default="auto",
-        help="Gaussian target rasterizer A/B (device-resident mode; "
-        "parity-tested — see aug/heatmap.py)",
+        # bench defaults to XLA, NOT auto: every round-2/3 reference row
+        # was (unknowingly — the auto rule missed the axon platform name)
+        # measured with the XLA rasterizer, and the driver's BENCH_rN
+        # comparison needs like-for-like until the raster-pallas A/B stage
+        # adjudicates a flip
+        "--raster-backend", choices=["auto", "xla", "pallas"], default="xla",
+        help="Gaussian target rasterizer A/B (device-resident modes; "
+        "parity-tested — see aug/heatmap.py; default xla = the backend "
+        "all prior BENCH rows used)",
     )
     ap.add_argument(
         "--joint", action="store_true",
@@ -600,8 +606,7 @@ def main():
                 kw["warmup"] = 1  # default stays one K-step warm dispatch
             if args.trials:
                 kw["trials"] = args.trials
-        if args.raster_backend != "auto":
-            kw["raster_backend"] = args.raster_backend
+        kw["raster_backend"] = args.raster_backend
         kw["config"] = args.config
         if args.res is None and not args.quick:
             kw["res"] = None  # keep the named config's own resolution
@@ -630,8 +635,7 @@ def main():
             kw["scan_stacks"] = True
         if args.warp_table != "u8":
             kw["warp_table"] = args.warp_table
-        if args.raster_backend != "auto":
-            kw["raster_backend"] = args.raster_backend
+        kw["raster_backend"] = args.raster_backend
         try:
             ips = run_bench(**kw)
         except Exception as e:
