@@ -42,6 +42,19 @@ STAGES = [
     # rasterizer — the refactor-drift check must compare like with like
     ("headline", ["bench.py", "--raster-backend", "xla"], 1200),
     ("raster-pallas", ["bench.py", "--raster-backend", "pallas"], 1200),
+    # production-default sanity: a real training run exercises the
+    # rasterizer auto rule (Pallas on axon since round 4) end-to-end on
+    # hardware — the kernel's first compiled-path run since round 1
+    (
+        "train-smoke-auto",
+        [
+            "posetpu/train/cli.py", "--config", "hg2_mpii_mini",
+            "--synthetic", "--epochs", "1", "--steps-per-epoch", "3",
+            "--num-devices", "1",
+            "--checkpoint", "/tmp/posetpu_matrix_smoke",
+        ],
+        1200,
+    ),
     ("warp-packed32", ["bench.py", "--warp-table", "packed32",
                        "--raster-backend", "xla"], 1200),
     ("batch-48", ["bench.py", "--batch", "48",
