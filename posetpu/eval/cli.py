@@ -115,5 +115,13 @@ def main(argv=None):
     return mean_pck
 
 
+def entry() -> int:
+    """Console-script wrapper: setuptools does ``sys.exit(entry())``, and
+    ``main`` returns the float PCKh for programmatic callers — sys.exit on
+    a float prints it and exits 1, so the script must return an int."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()
