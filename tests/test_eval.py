@@ -151,3 +151,14 @@ class TestOfflineProtocols:
         gts = rng.rand(5, 14, 2) * 100
         mean, _ = pck_lsp(gts, gts)
         assert mean == 100.0
+
+
+class TestEvalCliEntry:
+    def test_entry_returns_int_zero(self, monkeypatch):
+        # console script does sys.exit(entry()); main returns a float PCKh,
+        # and sys.exit(float) prints it and exits 1 — entry must coerce
+        import posetpu.eval.cli as cli
+
+        monkeypatch.setattr(cli, "main", lambda argv=None: 42.5)
+        rc = cli.entry()
+        assert rc == 0 and isinstance(rc, int)
