@@ -78,6 +78,7 @@ class PosePredictor:
         std=None,
         inp_res=(256, 256),
         out_res=(64, 64),
+        warp_table="u8",
     ):
         """``mean``/``std`` MUST match what training normalized with —
         Experiment uses the training dataset's computed mean and std=None
@@ -91,6 +92,9 @@ class PosePredictor:
         self.std = std
         self.inp_res = tuple(inp_res)
         self.out_res = tuple(out_res)
+        # warp patch-table layout knob (bit-exact "packed32" alternative,
+        # see aug/warp.py) — serving shares the train path's A/B lever
+        self.warp_table = warp_table
         # Weights enter as jit ARGUMENTS, not closure constants: closing
         # over them would bake the full pytree into every compiled
         # executable (one copy per input shape) and freeze updates to
@@ -140,6 +144,7 @@ class PosePredictor:
             mean=mean,
             inp_res=tuple(cfg.aug.inp_res),
             out_res=tuple(cfg.aug.out_res),
+            warp_table=getattr(cfg.aug, "warp_table", "u8"),
         )
 
     def _forward(self, variables, images, valid_wh, center, scale):
@@ -147,7 +152,10 @@ class PosePredictor:
         t = make_transform(
             center, scale, self.inp_res, jnp.zeros((B,), jnp.float32)
         )
-        crop = affine_warp(images, t, self.inp_res, valid_wh=valid_wh)
+        crop = affine_warp(
+            images, t, self.inp_res, valid_wh=valid_wh,
+            table_format=self.warp_table,
+        )
         crop = color_normalize(crop, self.mean, self.std)
         outs = self.model.apply(variables, crop, train=False)
         scores = outs[-1].astype(jnp.float32).transpose(0, 3, 1, 2)

@@ -220,3 +220,22 @@ class TestCheckpointLoading:
         b = _batch(rng, 2)
         out = p(b["images"], b["valid_wh"], b["center"], b["scale"])
         assert np.isfinite(out["pred"]).all()
+
+
+class TestWarpTableKnob:
+    def test_packed32_identical_predictions(self):
+        # serving shares the train path's bit-exact packed32 lever
+        model = hg(num_stacks=1, num_feats=8, num_classes=4)
+        v = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=True
+        )
+        kw = dict(inp_res=(64, 64), out_res=(16, 16))
+        p_u8 = PosePredictor(model, v["params"], v["batch_stats"], **kw)
+        p_32 = PosePredictor(
+            model, v["params"], v["batch_stats"], warp_table="packed32", **kw
+        )
+        b = _batch(np.random.RandomState(3), 2)
+        a = p_u8(b["images"], b["valid_wh"], b["center"], b["scale"])
+        c = p_32(b["images"], b["valid_wh"], b["center"], b["scale"])
+        for k in a:
+            np.testing.assert_array_equal(a[k], c[k], err_msg=k)
