@@ -278,7 +278,7 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
 
 
 def run_bench_serve(batch=64, stacks=8, feats=128, steps=20, warmup=2,
-                    res=256, pad=320, pipeline=0):
+                    res=256, pad=320, pipeline=0, warp_table="u8"):
     """Serving throughput: the PosePredictor path (uint8 padded batch ->
     neutral warp -> hourglass forward -> reference-exact decode), timed
     per dispatch WITH the device->host result fetch every call — exactly
@@ -304,6 +304,7 @@ def run_bench_serve(batch=64, stacks=8, feats=128, steps=20, warmup=2,
     p = PosePredictor(
         model, v["params"], v["batch_stats"],
         inp_res=(res, res), out_res=(res // 4, res // 4),
+        warp_table=warp_table,
     )
     rng = np.random.RandomState(0)
     images = rng.randint(0, 255, (batch, pad, pad, 3), dtype=np.uint8)
@@ -624,6 +625,8 @@ def main():
             kw["batch"] = 64  # serving sweet spot; --quick keeps batch 4
         if args.pipeline:
             kw["pipeline"] = args.pipeline
+        if args.warp_table != "u8":
+            kw["warp_table"] = args.warp_table
         ips = run_bench_serve(**kw)
         metric = "images/sec/chip (serving: warp+forward+decode" + (
             f", pipelined depth={args.pipeline})" if args.pipeline else ")"
