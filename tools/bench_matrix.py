@@ -64,7 +64,9 @@ STAGES = [
     ("batch-64-scan", ["bench.py", "--batch", "64", "--scan-stacks",
                        "--raster-backend", "xla"], 1500),
     ("serve-pipe2", ["bench.py", "--serve", "--pipeline", "2"], 1200),
-    ("joint-fused", ["bench.py", "--joint", "--fused",
+    # batch 16 = the round-3 flagship joint row's batch (BASELINE.md
+    # config-3 row: 225.3 img/s/chip at batch 16)
+    ("joint-fused", ["bench.py", "--joint", "--fused", "--batch", "16",
                      "--raster-backend", "xla"], 2400),
     (
         "duty-k8",
