@@ -34,5 +34,9 @@ quickbench:
 benchmatrix:  # full round measurement campaign (JSONL log, fail-fast)
 	python tools/bench_matrix.py
 
+watch:  # probe loop that FIRES benchmatrix on first tunnel recovery and
+	# resumes missing stages after mid-window wedges (VERDICT r4 item 1)
+	python tools/campaign_watch.py
+
 clean:
 	rm -f $(NATIVE_LIB)

@@ -47,6 +47,64 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_GPU_IMG_PER_SEC = 12.0  # literature anchor, see BASELINE.md
 
 
+def _tpu_unavailable_line(reason):
+    """The ONE driver-parseable structured error line (shared by the
+    startup fail-fast and the mid-run watchdog)."""
+    return json.dumps(
+        {
+            "metric": "images/sec/chip",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": "tpu_unavailable",
+            "detail": reason,
+        }
+    )
+
+
+class watchdog:
+    """Hard deadline around a device call + fetch (VERDICT r4 item 5).
+
+    The startup probe bounds a tunnel that is wedged BEFORE the run; a
+    mid-run wedge (after the probe passed, during a timed fetch) hangs
+    inside the runtime's C++ where no exception can interrupt it, so the
+    only escape is a daemon timer that prints the structured
+    ``tpu_unavailable`` line and hard-exits 3 — the driver then records a
+    clean diagnostic instead of rc=124 (BENCH_r03's failure mode).
+
+    Deadlines: steady-state fetches use ``POSETPU_FETCH_DEADLINE``
+    (default 600 s — a fused-K dispatch is ~1-2 s on hardware, so 600 s is
+    unambiguous death); first calls that may legitimately compile for many
+    minutes pass an explicit larger ``deadline``."""
+
+    FETCH_DEADLINE = float(os.environ.get("POSETPU_FETCH_DEADLINE", "600"))
+
+    def __init__(self, deadline=None, label="device fetch"):
+        self.deadline = self.FETCH_DEADLINE if deadline is None else deadline
+        self.label = label
+
+    def _fire(self):
+        print(
+            _tpu_unavailable_line(
+                f"mid-run wedge: {self.label} exceeded {self.deadline:.0f}s"
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    def __enter__(self):
+        import threading
+
+        self._t = threading.Timer(self.deadline, self._fire)
+        self._t.daemon = True
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._t.cancel()
+        return False
+
+
 def _synthetic_batch(batch, res, classes=16, seed=0):
     """Synthetic host batch at the padded shape the loader would produce."""
     import numpy as np
@@ -97,8 +155,12 @@ def _fused_k_rates(step, state, batch_dev, batch, K, warmup, trials,
 
     for w in range(max(warmup, 1)):  # compile + warm; value fetch = sync
         t0 = time.perf_counter()
-        state, loss = run_k(state, batch_dev, jax.random.PRNGKey(w))
-        float(loss)
+        # first call may legitimately compile for many minutes (joint
+        # monolith ~10 min) — larger watchdog deadline there
+        with watchdog(deadline=1800 if w == 0 else None,
+                      label=f"warm dispatch {w}"):
+            state, loss = run_k(state, batch_dev, jax.random.PRNGKey(w))
+            float(loss)
         if w == 0 and compile_label:
             sys.stderr.write(
                 f"[{compile_label}] first call (compile+{K} steps): "
@@ -107,8 +169,9 @@ def _fused_k_rates(step, state, batch_dev, batch, K, warmup, trials,
     rates = []
     for t in range(trials):
         t0 = time.perf_counter()
-        state, loss = run_k(state, batch_dev, jax.random.PRNGKey(100 + t))
-        float(loss)  # device->host fetch: the only real sync on this tunnel
+        with watchdog(label=f"timed dispatch {t}"):
+            state, loss = run_k(state, batch_dev, jax.random.PRNGKey(100 + t))
+            float(loss)  # device->host fetch: the only real sync here
         rates.append(batch * K / (time.perf_counter() - t0))
     return statistics.median(rates)
 
@@ -149,7 +212,7 @@ def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
 
 def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
                     res=None, fused=False, config="hg8_mpii_asr", trials=3,
-                    raster_backend="xla"):
+                    raster_backend="xla", warp_table="u8"):
     """Full adversarial (ASR) minimax step throughput — the flagship
     feature.
 
@@ -193,6 +256,7 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
         cfg.aug.inp_res = (res, res)
         cfg.aug.out_res = (res // 4, res // 4)
     cfg.aug.raster_backend = raster_backend
+    cfg.aug.warp_table = warp_table
     res = cfg.aug.inp_res[0]
     classes = cfg.model.classes
     model = hg(
@@ -264,16 +328,18 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
 
     key = jax.random.PRNGKey(0)
     m = None
-    for _ in range(warmup):
-        key, sub = jax.random.split(key)
-        state, m = step(state, batch_dev, sub)
-    if m is not None:
-        float(m["loss"])  # real sync (block_until_ready lies on this tunnel)
+    with watchdog(deadline=1800, label="joint split warmup"):
+        for _ in range(warmup):
+            key, sub = jax.random.split(key)
+            state, m = step(state, batch_dev, sub)
+        if m is not None:
+            float(m["loss"])  # real sync (block_until_ready lies here)
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for i in range(steps):
         key, sub = jax.random.split(key)
-        state, m = step(state, batch_dev, sub)
-        float(m["loss"])
+        with watchdog(label=f"joint split step {i}"):
+            state, m = step(state, batch_dev, sub)
+            float(m["loss"])
     return batch * steps / (time.perf_counter() - t0)
 
 
@@ -311,18 +377,24 @@ def run_bench_serve(batch=64, stacks=8, feats=128, steps=20, warmup=2,
     valid_wh = np.tile(np.array([[pad, pad]], np.int32), (batch, 1))
     center = np.tile(np.array([[pad / 2, pad / 2]], np.float32), (batch, 1))
     scale = np.full((batch,), pad / 250.0, np.float32)
-    for _ in range(warmup):
-        p(images, valid_wh, center, scale)
+    with watchdog(deadline=1800, label="serve warmup"):
+        for _ in range(warmup):
+            p(images, valid_wh, center, scale)
     if pipeline:
         feed = ((images, valid_wh, center, scale) for _ in range(steps))
         t0 = time.perf_counter()
-        for _ in p.predict_iter(feed, depth=pipeline):
-            pass
+        # one watchdog over the whole pipelined drain: per-item arming
+        # would miss a wedge inside the in-flight queue's final joins
+        # (600 s vs ~10 s of real drain is unambiguous death)
+        with watchdog(label="serve pipelined drain"):
+            for _ in p.predict_iter(feed, depth=pipeline):
+                pass
         dt = time.perf_counter() - t0
         return batch * steps / dt
     t0 = time.perf_counter()
-    for _ in range(steps):
-        p(images, valid_wh, center, scale)
+    for i in range(steps):
+        with watchdog(label=f"serve call {i}"):
+            p(images, valid_wh, center, scale)
     dt = time.perf_counter() - t0
     return batch * steps / dt
 
@@ -413,30 +485,34 @@ def run_bench_loader(
         )
         n_dispatch = -(-steps // group)
         m = None
-        for _ in range(warmup):
-            state, key, m = step(state, next(it), key)
-        if m is not None:
-            float(m["loss"][-1])  # real sync (block_until_ready lies here)
+        with watchdog(deadline=1800, label="loader group warmup"):
+            for _ in range(warmup):
+                state, key, m = step(state, next(it), key)
+            if m is not None:
+                float(m["loss"][-1])  # real sync (block_until_ready lies)
         t0 = time.perf_counter()
-        for _ in range(n_dispatch):
-            state, key, m = step(state, next(it), key)
-        float(m["loss"][-1])
+        with watchdog(label="loader group timed run"):
+            for _ in range(n_dispatch):
+                state, key, m = step(state, next(it), key)
+            float(m["loss"][-1])
         return batch * group * n_dispatch / (time.perf_counter() - t0)
     step = jax.jit(
         make_train_step(model, tx, cfg.aug, (0.44, 0.44, 0.43)),
         donate_argnums=(0,),
     )
     m = None
-    for _ in range(warmup):
-        key, sub = jax.random.split(key)
-        state, m = step(state, next(it), sub)
-    if m is not None:
-        float(m["loss"])  # real sync (block_until_ready lies on this tunnel)
+    with watchdog(deadline=1800, label="loader warmup"):
+        for _ in range(warmup):
+            key, sub = jax.random.split(key)
+            state, m = step(state, next(it), sub)
+        if m is not None:
+            float(m["loss"])  # real sync (block_until_ready lies here)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        key, sub = jax.random.split(key)
-        state, m = step(state, next(it), sub)
-    float(m["loss"])
+    with watchdog(label="loader timed run"):
+        for _ in range(steps):
+            key, sub = jax.random.split(key)
+            state, m = step(state, next(it), sub)
+        float(m["loss"])
     # sustained wall time INCLUDING host decode/collate — the whole chain
     return batch * steps / (time.perf_counter() - t0)
 
@@ -447,18 +523,7 @@ def _fail_fast(reason):
     An unreachable backend must become a <3-minute diagnostic, never a
     silent hang that eats the driver's whole capture window (BENCH_r03
     rc=124 was exactly that)."""
-    print(
-        json.dumps(
-            {
-                "metric": "images/sec/chip",
-                "value": None,
-                "unit": "images/sec/chip",
-                "vs_baseline": None,
-                "error": "tpu_unavailable",
-                "detail": reason,
-            }
-        )
-    )
+    print(_tpu_unavailable_line(reason))
     sys.exit(3)
 
 
@@ -484,7 +549,10 @@ def main():
         "jit in a subprocess under --probe-deadline so a wedged device "
         "tunnel fails fast with a structured error instead of hanging)",
     )
-    ap.add_argument("--probe-deadline", type=float, default=120.0)
+    # 240 s, not 120: a COLD tunnel legitimately takes ~70-100 s for the
+    # first tiny jit (measured round 5) — 120 s false-negatived a live
+    # chip; 240 s still fails fast relative to the multi-hour outages
+    ap.add_argument("--probe-deadline", type=float, default=240.0)
     ap.add_argument("--res", type=int, default=None, help="input resolution (384 for config 5)")
     ap.add_argument(
         "--loader", choices=["host", "grain"], default=None,
@@ -509,8 +577,8 @@ def main():
     )
     ap.add_argument(
         "--warp-table", choices=["u8", "packed32"], default="u8",
-        help="warp patch-table layout A/B (device-resident mode; "
-        "bit-exact — see aug/warp.py)",
+        help="warp patch-table layout A/B (device-resident, --joint and "
+        "--serve modes; bit-exact — see aug/warp.py)",
     )
     ap.add_argument(
         # bench defaults to XLA, NOT auto: every round-2/3 reference row
@@ -608,6 +676,7 @@ def main():
             if args.trials:
                 kw["trials"] = args.trials
         kw["raster_backend"] = args.raster_backend
+        kw["warp_table"] = args.warp_table  # ADVICE r4: was silently ignored
         kw["config"] = args.config
         if args.res is None and not args.quick:
             kw["res"] = None  # keep the named config's own resolution

@@ -45,9 +45,13 @@ class AugConfig:
     # warp patch-table layout: "u8" raw bytes | "packed32" one uint32 lane
     # per RGB pixel (bit-exact; see aug/warp.py) — perf A/B knob
     warp_table: str = "u8"
-    # target rasterizer: "auto" (Pallas on tpu/axon, else XLA) | "xla" |
-    # "pallas" — the two are ulp-level parity-tested; perf A/B knob
-    raster_backend: str = "auto"
+    # target rasterizer: "xla" | "pallas" | "auto" (Pallas on tpu/axon,
+    # else XLA).  The two are ulp-level parity-tested; perf A/B knob.
+    # Default is "xla" — the only backend any measured TPU row used —
+    # until the bench_matrix raster-pallas + train-smoke-auto stages pass
+    # on real hardware (VERDICT r4 item 2 / ADVICE r4 medium); flip to
+    # "auto" only on that evidence.
+    raster_backend: str = "xla"
 
 
 @dataclass
@@ -239,6 +243,11 @@ _FLAGS = {
     "--loader-backend": ("loader_backend", str),
     "--loader-workers": ("loader_workers", int),
     "--steps-per-dispatch": ("steps_per_dispatch", int),
+    # xla | pallas | auto — revertible from the CLI (ADVICE r4: a Mosaic
+    # miscompile on the experimental axon platform must not require a
+    # code edit to escape)
+    "--raster-backend": ("aug.raster_backend", str),
+    "--warp-table": ("aug.warp_table", str),  # u8 | packed32 (bit-exact A/B)
 }
 
 

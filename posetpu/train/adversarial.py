@@ -258,6 +258,8 @@ def _entropy(logits):
             ents.append(_head_entropy(logits[head]))
     for cell in logits.get("occ_cells", ()):
         ents.append(_head_entropy(cell))
+    if not ents:  # no known head matched — a future agent variant must
+        return jnp.float32(0.0)  # not ZeroDivisionError inside jit
     return sum(ents) / len(ents)
 
 

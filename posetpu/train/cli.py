@@ -47,7 +47,9 @@ def build_parser():
         "under a hard deadline; on a wedged device tunnel it exits with a "
         "clear diagnostic instead of hanging for many minutes)",
     )
-    p.add_argument("--probe-deadline", type=float, default=120.0)
+    # 240 s: a cold tunnel's first tiny jit measured ~70-100 s (round 5);
+    # 120 s false-negatived a live chip
+    p.add_argument("--probe-deadline", type=float, default=240.0)
     add_overrides(p)
     return p
 

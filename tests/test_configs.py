@@ -72,6 +72,19 @@ class TestCliOverrides:
         assert cfg.agent.occ_nodes == 9
         assert cfg.agent.update_every == 2
 
+    def test_aug_backend_flags(self):
+        # ADVICE r4 (medium): the rasterizer choice must be revertible from
+        # the CLI; warp-table is the matching A/B knob
+        cfg = _parse(
+            ["--config", "hg8_mpii", "--raster-backend", "pallas",
+             "--warp-table", "packed32"]
+        )
+        assert cfg.aug.raster_backend == "pallas"
+        assert cfg.aug.warp_table == "packed32"
+        # default is the only hardware-measured backend until the
+        # bench_matrix raster stages adjudicate (VERDICT r4 item 2)
+        assert _parse(["--config", "hg8_mpii"]).aug.raster_backend == "xla"
+
     def test_scan_stacks_flag(self):
         cfg = _parse(["--config", "hg8_mpii", "--scan-stacks"])
         assert cfg.model.scan_stacks is True

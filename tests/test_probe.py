@@ -70,6 +70,49 @@ class TestProbeBackend:
         assert "7" in detail
 
 
+class TestFetchWatchdog:
+    """bench.watchdog: a MID-RUN wedge (probe passed, then a timed fetch
+    hangs in runtime C++) must become the structured tpu_unavailable line
+    + exit 3, never an rc=124 driver timeout (VERDICT r4 item 5)."""
+
+    def test_wedged_fetch_emits_structured_line(self):
+        # the wedge hangs where no exception reaches Python — a sleep in
+        # the guarded region stands in for it; os._exit fires from the
+        # watchdog's daemon timer so this must run in a subprocess
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import bench, time\n"
+                "with bench.watchdog(deadline=1.0, label='fake fetch'):\n"
+                "    time.sleep(30)\n"
+                "print('UNREACHED')\n",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=20,
+            cwd=REPO,
+        )
+        assert r.returncode == 3, (r.stdout, r.stderr)
+        assert "UNREACHED" not in r.stdout
+        line = json.loads(r.stdout.strip().splitlines()[-1])
+        assert line["error"] == "tpu_unavailable"
+        assert line["value"] is None
+        assert "mid-run wedge" in line["detail"]
+        assert "fake fetch" in line["detail"]
+
+    def test_fast_fetch_passes_through(self):
+        # normal completion: the timer is cancelled, nothing printed,
+        # exceptions propagate unchanged
+        import bench
+
+        with bench.watchdog(deadline=30.0, label="ok"):
+            pass
+        with pytest.raises(ValueError):
+            with bench.watchdog(deadline=30.0, label="err"):
+                raise ValueError("propagates")
+
+
 class TestOomClassification:
     def test_oom_errors_retryable(self):
         assert is_oom_error(RuntimeError("RESOURCE_EXHAUSTED: 12.3GiB > 8GiB"))

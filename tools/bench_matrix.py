@@ -42,15 +42,18 @@ STAGES = [
     # rasterizer — the refactor-drift check must compare like with like
     ("headline", ["bench.py", "--raster-backend", "xla"], 1200),
     ("raster-pallas", ["bench.py", "--raster-backend", "pallas"], 1200),
-    # production-default sanity: a real training run exercises the
-    # rasterizer auto rule (Pallas on axon since round 4) end-to-end on
-    # hardware — the kernel's first compiled-path run since round 1
+    # rasterizer auto-rule sanity: a real training run exercises
+    # auto->Pallas-on-axon end-to-end on hardware — the kernel's first
+    # compiled-path run since round 1.  --raster-backend auto is explicit
+    # since round 5: the config DEFAULT is xla until this stage plus the
+    # raster-pallas A/B pass on the real chip (VERDICT r4 item 2)
     (
         "train-smoke-auto",
         [
             "posetpu/train/cli.py", "--config", "hg2_mpii_mini",
             "--synthetic", "--epochs", "1", "--steps-per-epoch", "3",
-            "--num-devices", "1",
+            "--num-devices", "1", "--raster-backend", "auto",
+            "--probe-deadline", "240",
             "--checkpoint", "/tmp/posetpu_matrix_smoke",
         ],
         1200,
@@ -138,8 +141,21 @@ def main():
         res = rec.get("result", {})
         print(f"[matrix] {name}: rc={rec.get('rc')} wall={rec.get('wall_s')}s "
               f"value={res.get('value')}", flush=True)
-        # a dead tunnel fails every later stage the same way — stop early
-        if isinstance(res, dict) and res.get("error") == "tpu_unavailable":
+        # a dead tunnel fails every later stage the same way — stop early.
+        # Three distinct dead-tunnel signatures (ADVICE r4: the structured
+        # line alone missed two of them):
+        #   1. the structured tpu_unavailable JSON (bench fail-fast)
+        #   2. a stage TIMEOUT — the wedge beat every in-stage watchdog
+        #   3. rc=2 with the probe's plain-text diagnostic (train CLI path)
+        dead = isinstance(res, dict) and res.get("error") == "tpu_unavailable"
+        if "stage timeout" in str(rec.get("error", "")):
+            dead = True
+        if rec.get("rc") == 2:
+            tail = " ".join(rec.get("stdout_tail", [])
+                            + rec.get("stderr_tail", []))
+            if "device unreachable" in tail:
+                dead = True
+        if dead:
             print("[matrix] backend unavailable — aborting remaining stages",
                   flush=True)
             sys.exit(3)
