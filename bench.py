@@ -177,7 +177,7 @@ def _fused_k_rates(step, state, batch_dev, batch, K, warmup, trials,
 
 
 def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
-              trials=3, scan_stacks=False, warp_table="u8",
+              trials=3, scan_stacks=False, warp_table="packed32",
               raster_backend="xla"):
     import jax
     import jax.numpy as jnp
@@ -212,7 +212,7 @@ def run_bench(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256,
 
 def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
                     res=None, fused=False, config="hg8_mpii_asr", trials=3,
-                    raster_backend="xla", warp_table="u8"):
+                    raster_backend="xla", warp_table="packed32"):
     """Full adversarial (ASR) minimax step throughput — the flagship
     feature.
 
@@ -344,7 +344,7 @@ def run_bench_joint(batch=16, stacks=8, feats=128, steps=20, warmup=3,
 
 
 def run_bench_serve(batch=64, stacks=8, feats=128, steps=20, warmup=2,
-                    res=256, pad=320, pipeline=0, warp_table="u8"):
+                    res=256, pad=320, pipeline=0, warp_table="packed32"):
     """Serving throughput: the PosePredictor path (uint8 padded batch ->
     neutral warp -> hourglass forward -> reference-exact decode), timed
     per dispatch WITH the device->host result fetch every call — exactly
@@ -576,9 +576,11 @@ def main():
         "(device-resident mode)",
     )
     ap.add_argument(
-        "--warp-table", choices=["u8", "packed32"], default="u8",
+        "--warp-table", choices=["u8", "packed32"], default="packed32",
         help="warp patch-table layout A/B (device-resident, --joint and "
-        "--serve modes; bit-exact — see aug/warp.py)",
+        "--serve modes; bit-exact — see aug/warp.py).  Default packed32 "
+        "since round 5: measured +3.7% on hardware (bench_matrix "
+        "warp-packed32, 2026-08-18); u8 is the legacy like-for-like knob",
     )
     ap.add_argument(
         # bench defaults to XLA, NOT auto: every round-2/3 reference row
@@ -694,8 +696,7 @@ def main():
             kw["batch"] = 64  # serving sweet spot; --quick keeps batch 4
         if args.pipeline:
             kw["pipeline"] = args.pipeline
-        if args.warp_table != "u8":
-            kw["warp_table"] = args.warp_table
+        kw["warp_table"] = args.warp_table
         ips = run_bench_serve(**kw)
         metric = "images/sec/chip (serving: warp+forward+decode" + (
             f", pipelined depth={args.pipeline})" if args.pipeline else ")"
@@ -705,8 +706,7 @@ def main():
             kw["trials"] = args.trials
         if args.scan_stacks:
             kw["scan_stacks"] = True
-        if args.warp_table != "u8":
-            kw["warp_table"] = args.warp_table
+        kw["warp_table"] = args.warp_table
         kw["raster_backend"] = args.raster_backend
         try:
             ips = run_bench(**kw)

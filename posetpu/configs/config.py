@@ -43,14 +43,17 @@ class AugConfig:
     color_jitter: bool = True
     dataset: str = "mpii"
     # warp patch-table layout: "u8" raw bytes | "packed32" one uint32 lane
-    # per RGB pixel (bit-exact; see aug/warp.py) — perf A/B knob
-    warp_table: str = "u8"
+    # per RGB pixel (bit-exact; see aug/warp.py).  Default "packed32"
+    # since round 5: measured +3.7% on the real chip (330.14 vs 318.43
+    # img/s/chip, bench_matrix warp-packed32 stage, 2026-08-18) and
+    # bit-exact vs u8 by test, so the flip is pure speed.
+    warp_table: str = "packed32"
     # target rasterizer: "xla" | "pallas" | "auto" (Pallas on tpu/axon,
-    # else XLA).  The two are ulp-level parity-tested; perf A/B knob.
-    # Default is "xla" — the only backend any measured TPU row used —
-    # until the bench_matrix raster-pallas + train-smoke-auto stages pass
-    # on real hardware (VERDICT r4 item 2 / ADVICE r4 medium); flip to
-    # "auto" only on that evidence.
+    # else XLA).  The two are ulp-level parity-tested.  Adjudicated on
+    # hardware 2026-08-18 (bench_matrix raster-pallas + train-smoke-auto):
+    # the Pallas compiled path runs correctly on the real chip but
+    # measures 1.4% SLOWER (313.95 vs 318.43 img/s/chip), so "xla" stays
+    # the default on perf evidence; "pallas"/"auto" remain CLI-selectable.
     raster_backend: str = "xla"
 
 

@@ -81,9 +81,14 @@ class TestCliOverrides:
         )
         assert cfg.aug.raster_backend == "pallas"
         assert cfg.aug.warp_table == "packed32"
-        # default is the only hardware-measured backend until the
-        # bench_matrix raster stages adjudicate (VERDICT r4 item 2)
-        assert _parse(["--config", "hg8_mpii"]).aug.raster_backend == "xla"
+        # defaults follow the 2026-08-18 hardware A/Bs: xla rasterizer
+        # (pallas measured -1.4%) + packed32 warp table (+3.7%, bit-exact)
+        dflt = _parse(["--config", "hg8_mpii"])
+        assert dflt.aug.raster_backend == "xla"
+        assert dflt.aug.warp_table == "packed32"
+        assert _parse(
+            ["--config", "hg8_mpii", "--warp-table", "u8"]
+        ).aug.warp_table == "u8"
 
     def test_scan_stacks_flag(self):
         cfg = _parse(["--config", "hg8_mpii", "--scan-stacks"])

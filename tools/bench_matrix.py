@@ -60,22 +60,33 @@ STAGES = [
     ),
     ("warp-packed32", ["bench.py", "--warp-table", "packed32",
                        "--raster-backend", "xla"], 1200),
-    ("batch-48", ["bench.py", "--batch", "48",
+    # The remaining stages pin --warp-table u8: their reference rows
+    # (headline 318.43, round-3 serving 125.3, round-3 joint 225.3) were
+    # all measured with the u8 table, and round 5 flipped the DEFAULT to
+    # packed32 mid-campaign (the measured +3.7% win) — like-for-like A/Bs
+    # must hold the table layout constant.  headline-default at the end
+    # measures the new production defaults (packed32 + xla) as the
+    # BENCH_r05 sanity row.
+    ("batch-48", ["bench.py", "--batch", "48", "--warp-table", "u8",
                   "--raster-backend", "xla"], 1200),
-    ("batch-64", ["bench.py", "--batch", "64",
+    ("batch-64", ["bench.py", "--batch", "64", "--warp-table", "u8",
                   "--raster-backend", "xla"], 1500),
     ("batch-64-scan", ["bench.py", "--batch", "64", "--scan-stacks",
+                       "--warp-table", "u8",
                        "--raster-backend", "xla"], 1500),
-    ("serve-pipe2", ["bench.py", "--serve", "--pipeline", "2"], 1200),
+    ("serve-pipe2", ["bench.py", "--serve", "--pipeline", "2",
+                     "--warp-table", "u8"], 1200),
     # batch 16 = the round-3 flagship joint row's batch (BASELINE.md
     # config-3 row: 225.3 img/s/chip at batch 16)
     ("joint-fused", ["bench.py", "--joint", "--fused", "--batch", "16",
+                     "--warp-table", "u8",
                      "--raster-backend", "xla"], 2400),
     (
         "duty-k8",
         ["tools/duty_cycle.py", "--k-per-dispatch", "8", "--steps", "32"],
         2400,
     ),
+    ("headline-default", ["bench.py"], 1200),
 ]
 
 
