@@ -76,17 +76,22 @@ STAGES = [
                        "--raster-backend", "xla"], 1500),
     ("serve-pipe2", ["bench.py", "--serve", "--pipeline", "2",
                      "--warp-table", "u8"], 1200),
-    # batch 16 = the round-3 flagship joint row's batch (BASELINE.md
-    # config-3 row: 225.3 img/s/chip at batch 16)
-    ("joint-fused", ["bench.py", "--joint", "--fused", "--batch", "16",
-                     "--warp-table", "u8",
-                     "--raster-backend", "xla"], 2400),
+    # headline-default (the BENCH_r05 production-defaults sanity row) runs
+    # BEFORE the long joint stage: the 2026-08-19 tunnel flaps every
+    # ~15-30 min, and joint-fused's ~10-min compile is the most
+    # wedge-exposed stage — it must not block the short ones in every
+    # healthy window.
+    ("headline-default", ["bench.py"], 1200),
     (
         "duty-k8",
         ["tools/duty_cycle.py", "--k-per-dispatch", "8", "--steps", "32"],
         2400,
     ),
-    ("headline-default", ["bench.py"], 1200),
+    # batch 16 = the round-3 flagship joint row's batch (BASELINE.md
+    # config-3 row: 225.3 img/s/chip at batch 16)
+    ("joint-fused", ["bench.py", "--joint", "--fused", "--batch", "16",
+                     "--warp-table", "u8",
+                     "--raster-backend", "xla"], 2400),
 ]
 
 
