@@ -92,6 +92,13 @@ STAGES = [
     ("joint-fused", ["bench.py", "--joint", "--fused", "--batch", "16",
                      "--warp-table", "u8",
                      "--raster-backend", "xla"], 2400),
+    # Bonus (round 5): the flagship joint row under the NEW production
+    # defaults (packed32 warp table) — shows whether the measured +3.7%
+    # single-path win carries into the fused minimax monolith.  Last so a
+    # flap during its ~10-min compile costs no other stage.
+    ("joint-fused-p32", ["bench.py", "--joint", "--fused", "--batch", "16",
+                         "--warp-table", "packed32",
+                         "--raster-backend", "xla"], 2400),
 ]
 
 
