@@ -645,8 +645,13 @@ def main():
         kw = dict(batch=32, stacks=8, feats=128, steps=20, warmup=3, res=256)
     else:
         # steps = K train steps fused into one lax.scan program (see module
-        # docstring); warmup = whole-program calls before timing
-        kw = dict(batch=32, stacks=8, feats=128, steps=10, warmup=1, res=256)
+        # docstring); warmup = whole-program calls before timing.  K=32
+        # since round 5: each timed dispatch pays ONE host relay (~46 ms
+        # measured), so larger K amortizes it exactly like the production
+        # loop's steps_per_dispatch — measured 337.5 @ K=10 vs 349.2 @
+        # K=32 (+3.5%, headline-k32 campaign row); K=64 is within noise
+        # of the B/d asymptote (~355), so 32 is the knee.
+        kw = dict(batch=32, stacks=8, feats=128, steps=32, warmup=1, res=256)
     if args.batch:
         kw["batch"] = args.batch
     if args.stacks:

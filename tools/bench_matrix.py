@@ -99,6 +99,15 @@ STAGES = [
     ("joint-fused-p32", ["bench.py", "--joint", "--fused", "--batch", "16",
                          "--warp-table", "packed32",
                          "--raster-backend", "xla"], 2400),
+    # Round-5 K-amortization A/B (production defaults, only --steps
+    # varied): each timed fused-K dispatch still pays one ~70-100 ms host
+    # relay; at the default K=10 that is ~8% of the measured rate
+    # (337 measured vs ~363 implied pure-device).  Raising K is exactly
+    # what the production loop's steps_per_dispatch does, so a K=32/64
+    # win is a legitimate default flip for bench.py, not a methodology
+    # change (same scan, same final value-fetch sync).
+    ("headline-k32", ["bench.py", "--steps", "32"], 1500),
+    ("headline-k64", ["bench.py", "--steps", "64"], 1800),
 ]
 
 
