@@ -108,6 +108,19 @@ STAGES = [
     # change (same scan, same final value-fetch sync).
     ("headline-k32", ["bench.py", "--steps", "32"], 1500),
     ("headline-k64", ["bench.py", "--steps", "64"], 1800),
+    # Plain-defaults confirmation AFTER the K=10->32 default flip: this is
+    # byte-for-byte the invocation the driver records as BENCH_r05, so it
+    # must reproduce the headline-k32 row (~349) on the new defaults.
+    ("headline-default-k32", ["bench.py"], 1500),
+    # Op-level xplane profile under the round-5 production defaults
+    # (packed32 warp table): refreshes the round-3 roofline decomposition
+    # whose warp-table rows were measured on the u8 path.  The profiler
+    # needs the pure-python protobuf impl on this machine, and a value
+    # fetch inside an active trace can hang for minutes (BASELINE.md
+    # profiling gotcha) — profile_step keeps the traced section fetch-free.
+    # Lowest priority: runs last, ~10 min wall.
+    ("profile-p32", ["tools/profile_step.py",
+                     "--out", "docs/profile_p32.txt"], 2400),
 ]
 
 

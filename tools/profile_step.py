@@ -21,6 +21,12 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The C++ protobuf in this image rejects the tensorflow.tsl xplane proto;
+# the pure-python impl parses it fine.  Must be set before the first
+# protobuf import (which happens lazily inside summarize_xplane), so the
+# unattended bench_matrix profile stage needs no wrapper env.
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 
 def _op_category(name):
     """Coarse HLO-op category from an event name of the form
@@ -84,6 +90,12 @@ def main(argv=None):
     ap.add_argument(
         "--by-category", action="store_true",
         help="aggregate device time by HLO op category instead of op name",
+    )
+    ap.add_argument(
+        "--out", default=None,
+        help="also write the op-table summary to this file (bench_matrix "
+        "stages only keep the last 3 stdout lines, so an unattended "
+        "profile run needs a persistent artifact)",
     )
     args = ap.parse_args(argv)
 
@@ -188,10 +200,16 @@ def main(argv=None):
         path = files[-1]
         print(f"[profile] trace: {path}")
 
+    lines = [f"[profile] source: {path}"]
     for plane, rows in summarize_xplane(path, args.top, args.by_category):
-        print(f"\n== plane {plane}")
+        lines.append(f"\n== plane {plane}")
         for name, ms, c in rows:
-            print(f"  {ms:9.2f} ms  x{c:<5} {name[:95]}")
+            lines.append(f"  {ms:9.2f} ms  x{c:<5} {name[:95]}")
+    print("\n".join(lines))
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"[profile] summary written: {args.out}")
 
 
 if __name__ == "__main__":
